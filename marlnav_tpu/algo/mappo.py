@@ -1,0 +1,332 @@
+"""MAPPO — multi-agent PPO with a centralized critic, fully on-device.
+
+The reference trainer (reference models.py:59-316) steps the env from
+Python one step at a time, with per-step host syncs and prints; here the
+entire rollout is ONE jitted ``lax.scan`` over ``buffer_len`` and each
+training phase is one jitted program (``lax.scan`` over epochs), so a whole
+(collect → train actor → train critic) repeat is three device programs.
+
+Faithful-semantics notes (all verified against the reference, SURVEY.md
+§2.5) — active when ``cfg.faithful`` (default):
+
+* Returns, not GAE: reverse scan ``curr = where(done, 0, r + gamma*curr)``
+  — the terminal step's own reward is zeroed, truncated episodes are not
+  bootstrapped (reference models.py:131-148); then the WHOLE buffer of
+  returns is z-normalized with the *sample* std (torch.std_mean unbiased).
+* Advantage mis-pairing: the reference tiles rewards/values with
+  ``Tensor.repeat`` where the log-prob flatten order needs a
+  repeat-interleave (reference models.py:285-286), mis-pairing advantages
+  with agents whenever A > 1.
+* Last-step drop: a minibatch that reaches the buffer end slices to ``-1``,
+  silently dropping the final buffer step (reference models.py:167-171).
+* Actor loss is *maximized* (Adam ``maximize=True``, reference
+  models.py:71-72) — implemented as minimizing its negation, which is
+  identical update-for-update (Adam is sign-symmetric).
+
+``faithful=False`` fixes the pairing + last-step drop; ``use_gae=True``
+additionally switches the advantage estimator to bootstrapped GAE (the
+estimator the reference never implemented).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from marlnav_tpu.config import MAPPOConfig, NormalizerConfig, ScalerConfig
+from marlnav_tpu.env.env import Env
+from marlnav_tpu.env.types import EnvState, EpisodeStats
+from marlnav_tpu.models import (
+    ActorParams,
+    CriticParams,
+    DiagGaussian,
+    actor_apply,
+    actor_init,
+    critic_apply,
+    critic_init,
+)
+from marlnav_tpu.utils.transforms import make_action_scaler, make_obs_normalizer
+
+
+class TrainState(NamedTuple):
+    actor: ActorParams
+    critic: CriticParams
+    actor_opt: optax.OptState
+    critic_opt: optax.OptState
+
+
+class Buffer(NamedTuple):
+    """Stacked rollout buffer, time-major (T leading), matching the
+    reference's per-step record layout (reference models.py:121)."""
+
+    obs: jax.Array  # (T, P, A, obs) normalized pre-step observations
+    actions: jax.Array  # (T, P, A, 2) raw [-1,1]-scale sampled actions
+    log_probs: jax.Array  # (T, P*A)
+    values: jax.Array  # (T, P, 1) critic on pre-step obs
+    returns: jax.Array  # (T, P) normalized discounted returns
+    done: jax.Array  # (T, P) bool
+
+
+class RolloutMetrics(NamedTuple):
+    mean_rew: jax.Array  # () mean of unnormalized returns
+    stats: EpisodeStats  # episode endings during this rollout
+
+
+class MAPPO(NamedTuple):
+    """Bundle of pure MAPPO functions over fixed configs."""
+
+    cfg: MAPPOConfig
+    init: Callable  # rng -> (TrainState, EnvState)
+    collect: Callable  # (TrainState, EnvState, rng) -> (EnvState, Buffer, RolloutMetrics)
+    train_actor: Callable  # (TrainState, Buffer) -> (TrainState, losses)
+    train_critic: Callable  # (TrainState, Buffer) -> (TrainState, losses)
+
+
+def _sample_std(x: jax.Array) -> jax.Array:
+    """Unbiased (N-1) std — torch.std_mean default (reference models.py:140)."""
+    n = x.size
+    mean = jnp.mean(x)
+    return jnp.sqrt(jnp.sum((x - mean) ** 2) / (n - 1))
+
+
+def discounted_returns(rewards: jax.Array, done: jax.Array, gamma: float):
+    """Reverse-scan zero-at-done discounted returns
+    (reference models.py:131-148).  rewards/done (T, P) -> returns (T, P)."""
+
+    def body(curr, rd):
+        rew, d = rd
+        curr = jnp.where(d, 0.0, rew + gamma * curr)
+        return curr, curr
+
+    init = jnp.zeros(rewards.shape[1], rewards.dtype)
+    _, rets = jax.lax.scan(body, init, (rewards, done), reverse=True)
+    return rets
+
+
+def gae_advantages(rewards, done, values, last_value, gamma, lam):
+    """Bootstrapped GAE(lambda) — the corrected estimator behind
+    ``use_gae`` (not present in the reference).  Shapes: rewards/done
+    (T, P), values (T, P), last_value (P,)."""
+
+    def body(carry, rdv):
+        gae, next_value = carry
+        rew, d, val = rdv
+        not_done = 1.0 - d.astype(rew.dtype)
+        delta = rew + gamma * next_value * not_done - val
+        gae = delta + gamma * lam * not_done * gae
+        return (gae, val), gae
+
+    init = (jnp.zeros_like(last_value), last_value)
+    _, adv = jax.lax.scan(body, init, (rewards, done, values), reverse=True)
+    return adv
+
+
+# ----------------------------------------------------------------------
+# Losses (reference models.py:270-316) — module level for direct testing
+# ----------------------------------------------------------------------
+
+def _flatten_minibatch(mb: Buffer, cfg: MAPPOConfig):
+    """Concatenate a (size, ...) minibatch along the step axis the way the
+    reference's ``torch.cat(..., dim=0)`` does (reference models.py:272-277)."""
+    size = mb.obs.shape[0]
+    p, a = cfg.num_parallel, cfg.num_agents
+    obs = mb.obs.reshape(size * p, a, cfg.obs_size)
+    actions = mb.actions.reshape(size * p * a, cfg.action_size)
+    log_probs = mb.log_probs.reshape(size * p * a)
+    values = mb.values.reshape(size * p)
+    returns = mb.returns.reshape(size * p)
+    return obs, actions, log_probs, values, returns
+
+
+def _pair_per_agent(x: jax.Array, cfg: MAPPOConfig) -> jax.Array:
+    """Expand (size*P,) to (size*P*A,) to pair with per-agent log-probs.
+
+    faithful: ``Tensor.repeat`` tiling (reference models.py:285-286) — the
+    verified mis-pairing.  fixed: repeat-interleave, the correct
+    (step, env, agent) pairing."""
+    if cfg.faithful:
+        return jnp.tile(x, cfg.num_agents)
+    return jnp.repeat(x, cfg.num_agents)
+
+
+def actor_loss(actor: ActorParams, mb: Buffer, cfg: MAPPOConfig) -> jax.Array:
+    """Negated PPO-clip + entropy objective (the reference *maximizes* it
+    with Adam maximize=True, reference models.py:71-72, 270-299)."""
+    obs, actions, old_log_probs, values, returns = _flatten_minibatch(mb, cfg)
+    mean, var = actor_apply(actor, obs)
+    dist = DiagGaussian(mean, var)
+    new_log_probs = dist.log_prob(actions)
+    entropies = dist.entropy()
+
+    advantages = _pair_per_agent(returns, cfg) - _pair_per_agent(values, cfg)
+    ratios = jnp.exp(new_log_probs - old_log_probs)
+    clip_obj = jnp.mean(
+        jnp.minimum(
+            ratios * advantages,
+            jnp.clip(ratios, 1.0 - cfg.epsilon, 1.0 + cfg.epsilon) * advantages,
+        )
+    )
+    return -(clip_obj + cfg.ent_const * jnp.mean(entropies))
+
+
+def critic_loss(critic: CriticParams, mb: Buffer, cfg: MAPPOConfig) -> jax.Array:
+    """Clipped-value loss (reference models.py:301-316)."""
+    obs, _, _, values, returns = _flatten_minibatch(mb, cfg)
+    new_values = critic_apply(critic, obs)[:, 0]
+    diff = (new_values - returns) ** 2
+    clamped = jnp.clip(new_values, values - cfg.epsilon, values + cfg.epsilon)
+    clamped_diff = (clamped - returns) ** 2
+    return jnp.mean(jnp.maximum(diff, clamped_diff))
+
+
+def minibatch_slices(buffer: Buffer, cfg: MAPPOConfig):
+    """Static contiguous time-slices per the reference's minibatching
+    (reference models.py:165-172): full batches, plus — in faithful mode
+    when the last batch reaches the buffer end — a tail batch with the
+    final buffer step dropped."""
+    slices = []
+    bs = cfg.batch_size
+    for j in range(cfg.num_minibatches):
+        start = j * bs
+        if cfg.faithful and start + bs >= cfg.buffer_len:
+            size = cfg.buffer_len - 1 - start  # slice end == -1
+        else:
+            size = bs
+        slices.append(
+            jax.tree.map(lambda x: jax.lax.slice_in_dim(x, start, start + size), buffer)
+        )
+    return slices
+
+
+def make_mappo(
+    cfg: MAPPOConfig,
+    env: Env,
+    normalizer_cfg: NormalizerConfig,
+    scaler_cfg: ScalerConfig,
+) -> MAPPO:
+    normalize = make_obs_normalizer(normalizer_cfg)
+    scale_up = make_action_scaler(scaler_cfg)
+    # torch Adam defaults (betas 0.9/0.999, eps 1e-8) == optax.adam defaults.
+    actor_tx = optax.adam(cfg.lr)
+    critic_tx = optax.adam(cfg.lr)
+    p, a = cfg.num_parallel, cfg.num_agents
+
+    def init(rng: jax.Array) -> Tuple[TrainState, EnvState]:
+        k_actor, k_critic, k_env = jax.random.split(rng, 3)
+        actor = actor_init(k_actor, cfg.obs_size, cfg.hidden_size, cfg.action_size)
+        critic = critic_init(k_critic, cfg.obs_size, a, cfg.hidden_size)
+        ts = TrainState(
+            actor=actor,
+            critic=critic,
+            actor_opt=actor_tx.init(actor),
+            critic_opt=critic_tx.init(critic),
+        )
+        return ts, env.init(k_env)
+
+    # ------------------------------------------------------------------
+    # Rollout (reference models.py:106-129 ``get_data``)
+    # ------------------------------------------------------------------
+
+    def collect(ts: TrainState, env_state: EnvState, rng: jax.Array):
+        # Stats counters are harvested per rollout and reset
+        # (reference models.py:151-158) — zero them at rollout start.
+        env_state = env_state._replace(stats=EpisodeStats.zeros())
+        obs0 = normalize(env.observations(env_state))
+
+        def body(carry, _):
+            env_state, obs, rng = carry
+            rng, k = jax.random.split(rng)
+            mean, var = actor_apply(ts.actor, obs)
+            dist = DiagGaussian(mean, var)
+            flat_actions = dist.sample(k)  # (P*A, 2) in ~[-1, 1]
+            log_probs = dist.log_prob(flat_actions)  # (P*A,)
+            actions = flat_actions.reshape(p, a, cfg.action_size)
+            env_state, out = env.step(env_state, scale_up(actions))
+            done = out.terminated | out.truncated
+            values = critic_apply(ts.critic, obs)  # pre-step obs (P, 1)
+            record = (obs, actions, log_probs, values, out.rewards, done)
+            new_obs = normalize(out.obs)
+            return (env_state, new_obs, rng), record
+
+        (env_state, last_obs, _), (obs, actions, log_probs, values, rewards, done) = (
+            jax.lax.scan(body, (env_state, obs0, rng), None, length=cfg.buffer_len)
+        )
+
+        # Returns processing (reference models.py:131-148): zero-at-done
+        # discounted returns, then whole-buffer z-normalization.
+        rets = discounted_returns(rewards, done, cfg.gamma)
+        mean_rew = jnp.mean(rets)
+        if cfg.use_gae:
+            # Corrected estimator: bootstrapped GAE advantages stored as
+            # "returns" = advantage + value (so advantage reconstruction in
+            # the losses still reads returns - values).
+            last_value = critic_apply(ts.critic, last_obs)[:, 0]
+            adv = gae_advantages(
+                rewards, done, values[..., 0], last_value, cfg.gamma, cfg.gae_lambda
+            )
+            rets = adv + values[..., 0]
+        else:
+            rets = (rets - mean_rew) / (_sample_std(rets) + 1e-12)
+
+        buffer = Buffer(obs, actions, log_probs, values, rets, done)
+        return env_state, buffer, RolloutMetrics(mean_rew, env_state.stats)
+
+    # ------------------------------------------------------------------
+    # Update loops (reference models.py:160-198)
+    # ------------------------------------------------------------------
+
+    def _train_phase(loss_fn, tx, get_params, get_opt, set_both):
+        def train(ts: TrainState, buffer: Buffer):
+            slices = minibatch_slices(buffer, cfg)
+            # Group equally-sized minibatches so each group is a scan
+            # (compiled once) over stacked slices; epochs are an outer scan.
+            by_size = {}
+            for s in slices:
+                by_size.setdefault(s.obs.shape[0], []).append(s)
+            groups = [
+                jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                for group in by_size.values()
+            ]
+
+            def epoch(carry, _):
+                params, opt = carry
+
+                def mb_step(carry, mb):
+                    params, opt = carry
+                    loss, grads = jax.value_and_grad(loss_fn)(params, mb, cfg)
+                    updates, opt = tx.update(grads, opt, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt), loss
+
+                losses = []
+                for g in groups:
+                    (params, opt), ls = jax.lax.scan(mb_step, (params, opt), g)
+                    losses.append(ls)
+                return (params, opt), jnp.concatenate(losses)
+
+            (params, opt), losses = jax.lax.scan(
+                epoch, (get_params(ts), get_opt(ts)), None, length=cfg.num_epochs
+            )
+            return set_both(ts, params, opt), losses.reshape(-1)
+
+        return train
+
+    train_actor = _train_phase(
+        actor_loss,
+        actor_tx,
+        lambda ts: ts.actor,
+        lambda ts: ts.actor_opt,
+        lambda ts, pr, op: ts._replace(actor=pr, actor_opt=op),
+    )
+    train_critic = _train_phase(
+        critic_loss,
+        critic_tx,
+        lambda ts: ts.critic,
+        lambda ts: ts.critic_opt,
+        lambda ts, pr, op: ts._replace(critic=pr, critic_opt=op),
+    )
+
+    return MAPPO(cfg, init, collect, train_actor, train_critic)

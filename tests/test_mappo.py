@@ -1,0 +1,206 @@
+"""MAPPO math parity vs the reference formulas (reimplemented in torch from
+the spec in SURVEY.md §2.5) plus an end-to-end training smoke test.
+
+These guard every quirk the reference's trainer carries: zero-at-done
+returns with whole-buffer sample-std normalization, the tile-vs-interleave
+advantage mis-pairing, the maximized actor objective, the clipped-value
+critic loss, and the last-buffer-step drop in minibatching.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from marlnav_tpu.algo import Buffer, make_mappo
+from marlnav_tpu.algo.mappo import (
+    _sample_std,
+    actor_loss,
+    critic_loss,
+    discounted_returns,
+    minibatch_slices,
+)
+from marlnav_tpu.config import (
+    EnvParams,
+    MAPPOConfig,
+    NormalizerConfig,
+    ScalerConfig,
+    TriangleInitConfig,
+)
+from marlnav_tpu.env import make_env
+
+torch = pytest.importorskip("torch")
+
+T, P, A, OBS = 12, 4, 3, 12
+
+
+def small_cfg(**kw):
+    defaults = dict(
+        num_agents=A, num_parallel=P, obs_size=OBS, hidden_size=16,
+        num_total=T * P, buffer_len=T, num_epochs=2, batch_size=T,
+    )
+    defaults.update(kw)
+    return MAPPOConfig(**defaults)
+
+
+def rand_buffer(rng, steps=T):
+    return Buffer(
+        obs=jnp.asarray(rng.normal(size=(steps, P, A, OBS)), jnp.float32),
+        actions=jnp.asarray(rng.uniform(-1, 1, size=(steps, P, A, 2)), jnp.float32),
+        log_probs=jnp.asarray(rng.normal(size=(steps, P * A)), jnp.float32),
+        values=jnp.asarray(rng.normal(size=(steps, P, 1)), jnp.float32),
+        returns=jnp.asarray(rng.normal(size=(steps, P)), jnp.float32),
+        done=jnp.asarray(rng.uniform(size=(steps, P)) < 0.2),
+    )
+
+
+def make_small_env():
+    return make_env(
+        EnvParams(num_parallel=P, episode_len=8),
+        TriangleInitConfig(num_parallel=P, num_obstacles=3),
+        None,
+    )
+
+
+def test_discounted_returns_match_reference_loop():
+    """Backward loop with zero-at-done (reference models.py:131-148)."""
+    rng = np.random.default_rng(0)
+    rewards = rng.normal(size=(T, P)).astype(np.float32)
+    done = rng.uniform(size=(T, P)) < 0.3
+    gamma = 0.9
+
+    # NB: the reference accumulates returns in float64 (torch dtype=float,
+    # reference models.py:133); we keep the device-native float32.  The
+    # manual loop below therefore also runs in float32.
+    curr = np.zeros(P, np.float32)
+    expected = np.zeros_like(rewards)
+    for t in range(T - 1, -1, -1):
+        curr = np.where(done[t], np.float32(0), rewards[t] + np.float32(gamma) * curr)
+        expected[t] = curr
+
+    got = np.asarray(discounted_returns(jnp.asarray(rewards), jnp.asarray(done), gamma))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+    # whole-buffer normalization uses the unbiased sample std (torch.std_mean)
+    t_std, _ = torch.std_mean(torch.from_numpy(expected))
+    np.testing.assert_allclose(float(_sample_std(jnp.asarray(expected))),
+                               float(t_std), rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def mappo_setup():
+    cfg = small_cfg()
+    mappo = make_mappo(cfg, make_small_env(), NormalizerConfig(), ScalerConfig())
+    ts, env_state = mappo.init(jax.random.PRNGKey(0))
+    return cfg, mappo, ts, env_state
+
+
+def _torch_actor_dist(params, obs):
+    """Reference Actor forward (reference models.py:14-36) in torch with our
+    weights — returns a MultivariateNormal over the flattened batch."""
+    t = lambda v: torch.from_numpy(np.asarray(v))
+    x = obs.flatten(0, 1)
+    h = x @ t(params.fc1.w) + t(params.fc1.b)
+    mu = torch.tanh(h @ t(params.fc_mu.w) + t(params.fc_mu.b))
+    var = torch.nn.functional.softplus(h @ t(params.fc_var.w) + t(params.fc_var.b))
+    return torch.distributions.MultivariateNormal(mu, torch.vmap(torch.diag)(var))
+
+
+def test_actor_loss_matches_reference_semantics(mappo_setup):
+    """PPO-clip + entropy, maximized, with the faithful tile mis-pairing
+    (reference models.py:270-299)."""
+    cfg, _, ts, _ = mappo_setup
+    buf = rand_buffer(np.random.default_rng(1))
+
+    dist = _torch_actor_dist(
+        ts.actor, torch.from_numpy(np.asarray(buf.obs)).reshape(T * P, A, OBS))
+    actions = torch.from_numpy(np.asarray(buf.actions)).reshape(T * P * A, 2)
+    new_lp = dist.log_prob(actions)
+    ratios = torch.exp(new_lp - torch.from_numpy(np.asarray(buf.log_probs)).reshape(-1))
+    # .repeat() tiling — the reference's advantage mis-pairing
+    rewards = torch.from_numpy(np.asarray(buf.returns)).reshape(-1).repeat(A)
+    values = torch.from_numpy(np.asarray(buf.values)).reshape(-1).repeat(A)
+    advantages = rewards - values
+    clip = torch.mean(torch.minimum(
+        ratios * advantages,
+        torch.clip(ratios, 1 - cfg.epsilon, 1 + cfg.epsilon) * advantages))
+    expected_objective = clip + cfg.ent_const * torch.mean(dist.entropy())
+
+    ours = actor_loss(ts.actor, buf, cfg)  # negated (minimized) objective
+    np.testing.assert_allclose(-float(ours), float(expected_objective), rtol=1e-4)
+
+
+def test_actor_loss_fixed_pairing():
+    """fixed mode pairs advantages with repeat-interleave order."""
+    cfg_f = small_cfg(faithful=False)
+    mappo = make_mappo(cfg_f, make_small_env(), NormalizerConfig(), ScalerConfig())
+    ts, _ = mappo.init(jax.random.PRNGKey(2))
+    buf = rand_buffer(np.random.default_rng(3))
+    l_fixed = float(actor_loss(ts.actor, buf, cfg_f))
+    l_faith = float(actor_loss(ts.actor, buf, small_cfg()))
+    assert np.isfinite(l_fixed) and np.isfinite(l_faith)
+    assert l_fixed != pytest.approx(l_faith)  # the pairings genuinely differ
+
+
+def test_critic_loss_matches_reference_semantics(mappo_setup):
+    """Clipped-value loss (reference models.py:301-316)."""
+    cfg, _, ts, _ = mappo_setup
+    buf = rand_buffer(np.random.default_rng(2))
+
+    t = lambda v: torch.from_numpy(np.asarray(v))
+    obs = t(buf.obs).reshape(T * P, A, OBS).flatten(1)
+    new_values = (torch.relu(obs @ t(ts.critic.fc1.w) + t(ts.critic.fc1.b))
+                  @ t(ts.critic.fc2.w) + t(ts.critic.fc2.b)).squeeze()
+    values = t(buf.values).reshape(-1)
+    rewards = t(buf.returns).reshape(-1)
+    diff = (new_values - rewards) ** 2
+    clamped = torch.clamp(new_values, min=values - cfg.epsilon,
+                          max=values + cfg.epsilon)
+    expected = torch.mean(torch.maximum(diff, (clamped - rewards) ** 2))
+
+    ours = critic_loss(ts.critic, buf, cfg)
+    np.testing.assert_allclose(float(ours), float(expected), rtol=1e-4)
+
+
+def test_minibatch_slicing_faithful_vs_fixed():
+    """faithful: the batch reaching the buffer end drops the final step
+    (reference models.py:167-171); fixed: full batches."""
+    buf = rand_buffer(np.random.default_rng(4))
+    sl = minibatch_slices(buf, small_cfg())  # bs == buffer_len == T
+    assert [s.obs.shape[0] for s in sl] == [T - 1]
+    sl = minibatch_slices(buf, small_cfg(faithful=False))
+    assert [s.obs.shape[0] for s in sl] == [T]
+    sl = minibatch_slices(buf, small_cfg(batch_size=T // 2))
+    assert [s.obs.shape[0] for s in sl] == [T // 2, T // 2 - 1]
+    sl = minibatch_slices(buf, small_cfg(batch_size=T // 2, faithful=False))
+    assert [s.obs.shape[0] for s in sl] == [T // 2, T // 2]
+
+
+def test_full_repeat_trains(mappo_setup):
+    """collect -> train_actor -> train_critic runs jitted end-to-end,
+    losses are finite, parameters actually move."""
+    cfg, mappo, ts, env_state = mappo_setup
+    env_state, buf, metrics = jax.jit(mappo.collect)(ts, env_state,
+                                                     jax.random.PRNGKey(3))
+    assert buf.obs.shape == (T, P, A, OBS)
+    assert np.isfinite(float(metrics.mean_rew))
+    # normalized returns: mean ~0, sample std ~1 over the whole buffer
+    assert abs(float(buf.returns.mean())) < 1e-4
+
+    ts2, a_losses = jax.jit(mappo.train_actor)(ts, buf)
+    ts2, c_losses = jax.jit(mappo.train_critic)(ts2, buf)
+    assert a_losses.shape == (cfg.num_epochs * cfg.num_minibatches,)
+    assert np.isfinite(np.asarray(a_losses)).all()
+    assert np.isfinite(np.asarray(c_losses)).all()
+    assert not np.allclose(np.asarray(ts2.actor.fc1.w), np.asarray(ts.actor.fc1.w))
+    assert not np.allclose(np.asarray(ts2.critic.fc1.w), np.asarray(ts.critic.fc1.w))
+
+
+def test_gae_mode_runs():
+    cfg = small_cfg(faithful=False, use_gae=True)
+    mappo = make_mappo(cfg, make_small_env(), NormalizerConfig(), ScalerConfig())
+    ts, env_state = mappo.init(jax.random.PRNGKey(5))
+    env_state, buf, _ = jax.jit(mappo.collect)(ts, env_state, jax.random.PRNGKey(6))
+    ts, losses = jax.jit(mappo.train_actor)(ts, buf)
+    assert np.isfinite(np.asarray(losses)).all()
