@@ -437,7 +437,9 @@ def config_to_json(cfg: RunConfig) -> str:
 
     def enc(obj):
         if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
-            d = dataclasses.asdict(obj)
+            # Shallow: nested dataclasses re-enter enc via json's default
+            # hook, so each keeps its own __type__ tag.
+            d = {f.name: getattr(obj, f.name) for f in dataclasses.fields(obj)}
             d["__type__"] = type(obj).__name__
             return d
         raise TypeError(f"not serializable: {obj!r}")
@@ -477,5 +479,6 @@ def load_config_json(path: str) -> RunConfig:
     reference's dead ``load_config``, utils.py:562-568)."""
     with open(os.path.expanduser(path)) as f:
         raw = json.load(f)
+    raw.pop("__type__", None)
     kwargs = {k: _decode(v) for k, v in raw.items()}
     return RunConfig(**kwargs)

@@ -1,0 +1,116 @@
+"""Training driver: the outer repeat loop with stats, weights, checkpoints.
+
+Equivalent of the reference's training mode (reference __main__.py:12-28):
+``num_repeats = num_total // (buffer_len * num_parallel)`` repeats of
+(collect rollout -> train actor -> train critic), then artifact dump.
+Each phase is one jitted device program; the host loop only sequences
+them and harvests per-rollout metrics (SURVEY.md §7.2).
+
+Additions beyond the reference (SURVEY.md §5 prescriptions):
+  * optional device-mesh sharding of the env batch + params;
+  * Orbax checkpoint of the FULL training state with exact resume
+    (the reference saves weights only, with no resume path);
+  * throughput logging (env-steps/s) instead of a per-step print.
+
+The reference's save-every-rollout weights quirk (its best-reward gate
+never updates, reference models.py:93, 127-129) is preserved: weights are
+(over)written to the same timestamped file after every rollout.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+
+from marlnav_tpu.algo import make_mappo
+from marlnav_tpu.config import RunConfig, config_to_json
+from marlnav_tpu.env import make_env
+from marlnav_tpu.utils.stats import StatsLogger
+
+
+def train(
+    cfg: RunConfig,
+    mesh=None,
+    tensor_parallel: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_interval: int = 10,
+    resume: bool = False,
+    output_root: Optional[str] = None,
+    verbose: bool = True,
+):
+    """Run full MAPPO training per ``cfg``; returns the final TrainState.
+
+    With ``mesh`` the env batch shards over its 'data' axis (and the MLP
+    hidden dims over 'model' when ``tensor_parallel``).  With
+    ``checkpoint_dir`` the complete state checkpoints every
+    ``checkpoint_interval`` rollouts; ``resume=True`` continues from the
+    latest checkpoint there.
+    """
+    assert cfg.model is not None, "train requires a model config"
+    env = make_env(cfg.env, cfg.init, None)
+    mappo = make_mappo(cfg.model, env, cfg.normalizer, cfg.scaler)
+
+    seed = cfg.seed if cfg.seed is not None else 0
+    base_rng = jax.random.PRNGKey(seed)
+    init_rng, loop_rng = jax.random.split(base_rng)
+    ts, env_state = mappo.init(init_rng)
+
+    if mesh is not None:
+        from marlnav_tpu.parallel import shard_env_state, shard_train_state
+
+        env_state = shard_env_state(env_state, mesh)
+        ts = shard_train_state(ts, mesh, tensor_parallel=tensor_parallel)
+
+    collect = jax.jit(mappo.collect)
+    train_actor = jax.jit(mappo.train_actor)
+    train_critic = jax.jit(mappo.train_critic)
+
+    logger = StatsLogger(root=output_root)
+    start_repeat = 0
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        from marlnav_tpu.utils.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(checkpoint_dir, save_interval=checkpoint_interval)
+        if resume and ckpt.latest_step() is not None:
+            step, (ts, env_state), host = ckpt.restore((ts, env_state))
+            start_repeat = step + 1
+            if host:
+                logger.load_state_dict(host)
+            if verbose:
+                print(f"resumed from checkpoint at repeat {step}")
+
+    m = cfg.model
+    steps_per_rollout = m.buffer_len * m.num_parallel
+    for repeat in range(start_repeat, m.num_repeats):
+        t0 = time.perf_counter()
+        rollout_rng = jax.random.fold_in(loop_rng, repeat)
+        env_state, buffer, metrics = collect(ts, env_state, rollout_rng)
+        ts, actor_losses = train_actor(ts, buffer)
+        ts, critic_losses = train_critic(ts, buffer)
+        jax.block_until_ready(ts)
+        dt = time.perf_counter() - t0
+
+        logger.log_rollout(metrics)
+        logger.log_losses(actor_losses, critic_losses)
+        logger.save_weights(ts)
+        if ckpt is not None:
+            ckpt.save(repeat, (ts, env_state), logger.state_dict())
+
+        if verbose:
+            print(
+                f"repeat {repeat + 1}/{m.num_repeats}: "
+                f"mean_rew {float(metrics.mean_rew):.3f}, "
+                f"{steps_per_rollout / dt:,.0f} env-steps/s "
+                f"(rollout+update {dt:.2f}s)"
+            )
+
+    if ckpt is not None and m.num_repeats > start_repeat:
+        ckpt.save(m.num_repeats - 1, (ts, env_state), logger.state_dict(),
+                  force=True)
+        ckpt.close()
+    logger.save_stats(config_to_json(cfg))
+    return ts, env_state, logger

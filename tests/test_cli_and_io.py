@@ -1,0 +1,168 @@
+"""CLI dispatch, training driver artifacts, checkpoint/resume, rendering,
+reward check, config JSON round trip.
+
+These cover the layers the reference exercises only manually
+(SURVEY.md §4): the artifact sets written by training
+(reference models.py:200-268), reward-check plots (utils.py:579-666) and
+the renderer (animation.py), plus the checkpoint/resume path the reference
+lacks entirely.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from marlnav_tpu.__main__ import build_parser, cli
+from marlnav_tpu.config import (
+    config_to_json,
+    load_config_json,
+    resolve_run_config,
+)
+
+
+def run_cli(argv, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cli(argv)
+
+
+TINY_TRAIN = ["-np", "4", "-nt", "160", "-bl", "20", "-bs", "10",
+              "-ne", "2", "-se", "3"]
+
+
+def test_parser_reference_defaults():
+    """Flag names/defaults match the reference CLI (__main__.py:49-132)."""
+    args = build_parser().parse_args([])
+    assert args.num_parallel == 2 and args.num_agents == 3
+    assert args.num_total == 1_000_000 and args.buffer_len == 1000
+    assert args.gamma == 0.9 and args.epsilon == 0.01
+    assert args.heading_factor == 500.0 and args.bond_factor == 10.0
+    assert args.sampler_num == -1 and args.sampling_style == "sampler"
+
+
+def test_config_json_roundtrip(tmp_path):
+    args = build_parser().parse_args(["-np", "8", "-sn", "0", "-se", "5"])
+    cfg = resolve_run_config(args)
+    path = tmp_path / "run.json"
+    path.write_text(config_to_json(cfg))
+    cfg2 = load_config_json(str(path))
+    assert cfg2 == cfg
+
+
+def test_training_artifacts_and_weight_roundtrip(tmp_path, monkeypatch):
+    run_cli(TINY_TRAIN, tmp_path, monkeypatch)
+    weights = sorted(glob.glob(str(tmp_path / "weights" / "*_actor.npz")))
+    assert len(weights) == 1
+    logs = {os.path.basename(p).split("_", 1)[1]
+            for p in glob.glob(str(tmp_path / "logs" / "*"))}
+    assert logs == {"mean_rews.csv", "act_loss.csv", "cri_loss.csv",
+                    "epi_stats.csv", "params.json"}
+    plots = {os.path.basename(p).split("_", 1)[1]
+             for p in glob.glob(str(tmp_path / "plots" / "*"))}
+    assert plots == {"mean_rews.png", "act_loss.png", "cri_loss.png",
+                     "epi_stats.png"}
+    # CSV row counts: 2 repeats x 2 epochs x 2 minibatches = 8 loss rows.
+    lines = (tmp_path / "logs" /
+             os.path.basename(weights[0]).replace("_actor.npz",
+                                                  "_act_loss.csv")).read_text()
+    assert len(lines.strip().splitlines()) == 1 + 8
+
+    # Weights round-trip through the renderer's loader.
+    from marlnav_tpu.diagnostics.animation import load_actor_weights
+    from marlnav_tpu.utils.stats import load_weights
+    from marlnav_tpu.models import actor_init
+
+    actor = load_actor_weights(weights[0], obs_size=12)
+    assert actor.fc1.w.shape == (12, 50)
+    template = actor_init(jax.random.PRNGKey(0), 12, 50, 2)
+    again = load_weights(weights[0], template)
+    for a, b in zip(jax.tree.leaves(actor), jax.tree.leaves(again)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_resume_continues_exactly(tmp_path, monkeypatch):
+    """Resume must continue where the run stopped and produce the same final
+    state as an uninterrupted run (pure-functional trainer => replayable)."""
+    monkeypatch.chdir(tmp_path)
+    from marlnav_tpu.train import train
+
+    args = build_parser().parse_args(TINY_TRAIN + ["-nt", "240"])
+    cfg = resolve_run_config(args)
+
+    # Uninterrupted 3-repeat run.
+    os.makedirs(tmp_path / "a")
+    monkeypatch.chdir(tmp_path / "a")
+    ts_full, _, _ = train(cfg, verbose=False)
+
+    # 2 repeats, checkpointed ...
+    args2 = build_parser().parse_args(TINY_TRAIN)  # nt=160 -> 2 repeats
+    cfg2 = resolve_run_config(args2)
+    os.makedirs(tmp_path / "b")
+    monkeypatch.chdir(tmp_path / "b")
+    ckpt_dir = str(tmp_path / "ckpt")
+    train(cfg2, checkpoint_dir=ckpt_dir, checkpoint_interval=1, verbose=False)
+    # ... then resumed for the third.
+    ts_res, _, logger = train(cfg, checkpoint_dir=ckpt_dir,
+                              checkpoint_interval=1, resume=True,
+                              verbose=False)
+
+    for a, b in zip(jax.tree.leaves(ts_full), jax.tree.leaves(ts_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    assert len(logger.logs["mean_rews"]) == 3  # 2 restored + 1 new
+
+
+def test_reward_check_mode(tmp_path, monkeypatch):
+    run_cli(["-rc", "-sn", "0", "-ms", "30"], tmp_path, monkeypatch)
+    assert (tmp_path / "plots" / "states_array_0_agent_0.png").exists()
+    # Reference filename quirk: bond factor absent (utils.py:659-662).
+    assert (tmp_path / "plots" /
+            "rewards_B0A0T500.0H500.0D0.0R0.0S500.0.png").exists()
+
+
+def test_reward_check_series_match_goldens(tmp_path, monkeypatch):
+    """check_rews' collected series equal the golden reference trajectory."""
+    monkeypatch.chdir(tmp_path)
+    from marlnav_tpu.config import EnvParams, mock_init_scenario, MockSamplerConfig
+    from marlnav_tpu.diagnostics import check_rews
+    from marlnav_tpu.env import make_env
+
+    golden = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "goldens", "sn0.npz"))
+    env = make_env(
+        EnvParams(num_parallel=2, num_obstacles=1),
+        mock_init_scenario(0),
+        MockSamplerConfig(num=0),
+    )
+    n = 100
+    series = check_rews(env, n, parallel_ind=0, agent_ind=1)
+    np.testing.assert_allclose(series["target_angles"],
+                               golden["target_angle"][:n, 0, 1, 0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(series["rewards"], golden["rewards"][:n, 0],
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_rendering_headless(tmp_path, monkeypatch):
+    out = str(tmp_path / "anim.gif")
+    run_cli(["-re", "-sn", "1", "-ms", "10", "--save-animation", out],
+            tmp_path, monkeypatch)
+    assert os.path.getsize(out) > 0
+
+
+def test_policy_rendering_from_trained_weights(tmp_path, monkeypatch):
+    run_cli(TINY_TRAIN, tmp_path, monkeypatch)
+    weights = os.path.basename(
+        glob.glob(str(tmp_path / "weights" / "*_actor.npz"))[0])
+    out = str(tmp_path / "anim_policy.gif")
+    run_cli(["-re", "-sa", "policy", "-w", weights, "-np", "2", "-ms", "10",
+             "--save-animation", out], tmp_path, monkeypatch)
+    assert os.path.getsize(out) > 0
+
+
+def test_reward_check_rejects_policy():
+    with pytest.raises(SystemExit):
+        cli(["-rc", "-sa", "policy"])
