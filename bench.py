@@ -2,12 +2,16 @@
 
 BASELINE.json configs 3/5 scale: random-policy lockstep stepping with
 auto-reset on terminal, 3 agents, 16384 parallel envs (the multi-host
-config's env count, which one v5e chip already sustains).  The whole
-rollout (policy forward + Gaussian sample + env step, x T) is ONE jitted
-``lax.scan``; the policy consumes the *carried* step-output observations,
-exactly like the trainer's rollout (and the reference's data flow,
-reference models.py:117-122) — recomputing observations from the carried
-state each step instead measures 5x slower at this scale.
+config's env count, which one v5e chip already sustains).
+
+Two implementations are measured:
+  * the XLA path — the whole rollout (policy forward + Gaussian sample +
+    env step, x T) as ONE jitted ``lax.scan``, the same program the MAPPO
+    trainer runs.  The policy consumes the *carried* step-output
+    observations, exactly like the trainer (and the reference's data
+    flow, reference models.py:117-122);
+  * the fused Pallas kernel (marlnav_tpu/ops/fused_rollout.py) — the
+    entire rollout as one VMEM-resident kernel.  This is the headline.
 
 Prints ONE JSON line:
   {"metric": "env_steps_per_s", "value": N, "unit": "steps/s",
@@ -17,8 +21,11 @@ Prints ONE JSON line:
 >=10M AGGREGATE env-steps/s on a v5e multi-host slice (the reference
 itself publishes no numbers; BASELINE.md).  This benchmark runs on ONE
 chip, so vs_baseline > 1 means a single chip beats the whole-slice
-target.  A secondary 1024-env config (BASELINE.json config 3) reports to
-stderr.
+target.  Per-config detail goes to stderr.
+
+NOTE (remote-TPU tunnel): fetching large outputs dominates wall-clock, so
+both rollouts reduce rewards to a scalar on device and timing blocks on
+that scalar + the final env state only.
 """
 
 from __future__ import annotations
@@ -43,21 +50,50 @@ from marlnav_tpu.utils.transforms import make_action_scaler, make_obs_normalizer
 NUM_AGENTS = 3
 BASELINE_TARGET = 10e6  # north-star aggregate env-steps/s (BASELINE.json)
 HEADLINE = (16384, 500)  # (num_envs, steps per jitted rollout)
-SECONDARY = (1024, 1000)  # BASELINE.json config 3
 TIMED_CALLS = 3
 
 
-def measure(num_envs: int, num_steps: int) -> float:
-    """Steady-state env-steps/s for one (P, T) config."""
-    env = make_env(
+def _build_env(num_envs: int):
+    return make_env(
         EnvParams(num_parallel=num_envs, num_agents=NUM_AGENTS),
         TriangleInitConfig(num_parallel=num_envs, num_obstacles=3),
         None,
     )
+
+
+def _time_rollouts(name, fn, state, seed0: int, num_envs: int,
+                   num_steps: int) -> float:
+    t0 = time.perf_counter()
+    state, mean_rew = fn(state, seed0)
+    jax.block_until_ready((state, mean_rew))
+    print(f"{name}: compile+first run {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(TIMED_CALLS):
+        state, mean_rew = fn(state, seed0 + 1 + i)
+    jax.block_until_ready((state, mean_rew))
+    dt = time.perf_counter() - t0
+
+    steps_per_s = num_envs * num_steps * TIMED_CALLS / dt
+    print(f"{name}: {TIMED_CALLS}x{num_steps}-step rollouts of {num_envs} "
+          f"envs in {dt:.3f}s -> {steps_per_s / 1e6:.1f}M steps/s "
+          f"(mean reward {float(mean_rew):.1f})", file=sys.stderr)
+    return steps_per_s
+
+
+def measure_xla(num_envs: int, num_steps: int) -> float:
+    """The lax.scan rollout (the trainer's program shape)."""
+    env = _build_env(num_envs)
     normalize = make_obs_normalizer(NormalizerConfig(num_agents=NUM_AGENTS))
     scale_up = make_action_scaler(ScalerConfig())
+    k_env, k_actor = jax.random.split(jax.random.PRNGKey(0))
+    env_state = env.init(k_env)
+    actor = actor_init(k_actor, env.params.obs_size, 50, 2)
 
-    def rollout(env_state, actor, rng):
+    @jax.jit
+    def rollout(env_state, seed):
+        rng = jax.random.PRNGKey(seed)
         obs0 = normalize(env.observations(env_state))
 
         def body(carry, _):
@@ -74,37 +110,46 @@ def measure(num_envs: int, num_steps: int) -> float:
         )
         return env_state, jnp.mean(rewards)
 
-    rollout = jax.jit(rollout)
-    k_env, k_actor, k_roll = jax.random.split(jax.random.PRNGKey(0), 3)
-    env_state = env.init(k_env)
+    return _time_rollouts("xla-scan", rollout, env_state, 0, num_envs,
+                          num_steps)
+
+
+def measure_fused(num_envs: int, num_steps: int) -> float:
+    """The VMEM-resident fused Pallas rollout kernel."""
+    from marlnav_tpu.ops import env_state_to_rows, make_fused_rollout
+
+    env = _build_env(num_envs)
+    k_env, k_actor = jax.random.split(jax.random.PRNGKey(0))
+    rows = env_state_to_rows(env.init(k_env))
     actor = actor_init(k_actor, env.params.obs_size, 50, 2)
+    roll = make_fused_rollout(
+        env.params, TriangleInitConfig(num_parallel=num_envs, num_obstacles=3),
+        NormalizerConfig(num_agents=NUM_AGENTS), ScalerConfig(), num_steps,
+    )
 
-    t0 = time.perf_counter()
-    env_state, mean_rew = rollout(env_state, actor, k_roll)
-    jax.block_until_ready(env_state)
-    print(f"P={num_envs}: compile+first run {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    @jax.jit
+    def rollout(rows, seed):
+        rows, rewards = roll(rows, actor, seed)
+        return rows, jnp.mean(rewards)
 
-    t0 = time.perf_counter()
-    for _ in range(TIMED_CALLS):
-        env_state, mean_rew = rollout(env_state, actor, k_roll)
-    jax.block_until_ready(env_state)
-    dt = time.perf_counter() - t0
-
-    steps_per_s = num_envs * num_steps * TIMED_CALLS / dt
-    print(f"P={num_envs}: {TIMED_CALLS}x{num_steps}-step rollouts in "
-          f"{dt:.3f}s -> {steps_per_s / 1e6:.1f}M steps/s "
-          f"(mean reward {float(mean_rew):.1f})", file=sys.stderr)
-    return steps_per_s
+    return _time_rollouts("fused-pallas", rollout, rows, 0, num_envs,
+                          num_steps)
 
 
 def main() -> None:
     dev = jax.devices()[0]
     print(f"device: {dev.platform} ({dev.device_kind})", file=sys.stderr)
 
-    measure(*SECONDARY)
-    steps_per_s = measure(*HEADLINE)
+    num_envs, num_steps = HEADLINE
+    xla = measure_xla(num_envs, num_steps)
+    if dev.platform == "tpu":
+        fused = measure_fused(num_envs, num_steps)
+        print(f"fused/xla speedup: {fused / xla:.2f}x", file=sys.stderr)
+    else:  # Mosaic kernels need real TPU hardware; CPU measures XLA only.
+        print("non-TPU device: skipping fused-kernel config", file=sys.stderr)
+        fused = 0.0
 
+    steps_per_s = max(xla, fused)
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(steps_per_s, 1),

@@ -1,0 +1,15 @@
+"""Performance kernels: Pallas fused paths for the rollout hot loop."""
+
+from marlnav_tpu.ops.fused_rollout import (
+    RowState,
+    env_state_to_rows,
+    make_fused_rollout,
+    rows_to_env_arrays,
+)
+
+__all__ = [
+    "RowState",
+    "env_state_to_rows",
+    "make_fused_rollout",
+    "rows_to_env_arrays",
+]

@@ -39,21 +39,21 @@ def test_checked_step_catches_nan():
 
 
 def test_bench_measure_runs_small():
-    """bench.measure on a tiny config: returns positive steps/s."""
+    """bench.measure_xla on a tiny config: returns positive steps/s."""
     import bench
 
-    rate = bench.measure(num_envs=8, num_steps=5)
+    rate = bench.measure_xla(num_envs=8, num_steps=5)
     assert rate > 0
 
 
 def test_bench_cli_emits_one_json_line(monkeypatch):
-    """bench.main's stdout contract: exactly one parseable JSON line."""
+    """bench.main's stdout contract: exactly one parseable JSON line.
+    (On CPU the fused-Pallas config is skipped automatically.)"""
     import bench
     import io
     import contextlib
 
     monkeypatch.setattr(bench, "HEADLINE", (8, 5))
-    monkeypatch.setattr(bench, "SECONDARY", (4, 5))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         bench.main()
