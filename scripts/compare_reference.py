@@ -1,0 +1,200 @@
+"""Learning-curve comparison: marlnav_tpu MAPPO vs the upstream reference.
+
+RUNS both trainers (the torch reference from /root/reference on CPU, and
+this framework's jitted trainer) on the same small configuration and
+reports their mean-reward curves side by side, with summary statistics.
+This is the BASELINE.md "MAPPO curve match within seed variance" check:
+the two frameworks use different RNGs, so curves can only match in
+distribution — the script runs each over several seeds and compares the
+seed-band of one against the other.
+
+The reference trainer's per-step prints are suppressed; its artifact dirs
+(weights/plots/logs) are redirected to a temp cwd.
+
+Usage:
+  python scripts/compare_reference.py [--repeats 8] [--buffer-len 100]
+      [--num-parallel 16] [--num-epochs 5] [--seeds 3] [--out compare.png]
+
+Takes a few minutes (the torch reference steps the env from Python).
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import sys
+import tempfile
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def reference_args(ns: argparse.Namespace) -> types.SimpleNamespace:
+    """Namespace with every flag the reference's set_params reads
+    (reference __main__.py:49-132 defaults, overridden by our config)."""
+    return types.SimpleNamespace(
+        seed=None, max_x_value=1500.0, max_y_value=750.0, fig_size_x=10.0,
+        fig_size_y=5.0, parallel_index=0, agent_index=0, interval=10,
+        random=False, weights_file=None,
+        num_parallel=ns.num_parallel, num_agents=3, num_obstacles=3,
+        max_step=1000, episode_len=ns.episode_len, min_speed=3.0,
+        max_speed=10.0, min_accel=-0.5, max_accel=0.5, risk_factor=0.0,
+        distance_factor=0.0, heading_factor=500.0, target_factor=500.0,
+        soft_factor=500.0, bond_factor=10.0, hidden_size=50,
+        learning_rate=1e-3, ent_const=1e-3, epsilon=0.01, gamma=0.9,
+        num_total=ns.repeats * ns.buffer_len * ns.num_parallel,
+        buffer_len=ns.buffer_len, num_epochs=ns.num_epochs,
+        batch_size=ns.buffer_len, rendering=False,
+        sampling_style="sampler", reward_check=False, sampler_num=-1,
+    )
+
+
+def run_reference(ns, seed: int) -> np.ndarray:
+    """One reference training run; returns the per-rollout mean-reward
+    curve (the reference's _logs['mean_rews'])."""
+    sys.path.insert(0, "/root/reference")
+    from marlnav.environment import Env
+    from marlnav.models import MAPPO
+    from marlnav.utils import set_all_seeds, set_params
+
+    args = reference_args(ns)
+    set_all_seeds(seed)
+    params = set_params(args)
+    # The triangle initializer must be used (training path), sampler unused.
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as tmp:
+        os.chdir(tmp)
+        try:
+            with contextlib.redirect_stdout(io.StringIO()):
+                env = Env(params["env"])
+                mappo = MAPPO(params["model"], env)
+                for _ in range(ns.repeats):
+                    mappo.get_data()
+                    mappo.train_actor()
+                    mappo.train_critic()
+            return np.asarray(mappo._logs["mean_rews"], np.float64)
+        finally:
+            os.chdir(cwd)
+
+
+def run_ours(ns, seed: int) -> np.ndarray:
+    """One marlnav_tpu training run; returns the mean-reward curve."""
+    import jax
+
+    from marlnav_tpu.algo import make_mappo
+    from marlnav_tpu.config import (
+        EnvParams,
+        MAPPOConfig,
+        NormalizerConfig,
+        ScalerConfig,
+        TriangleInitConfig,
+    )
+    from marlnav_tpu.env import make_env
+
+    cfg = MAPPOConfig(
+        num_parallel=ns.num_parallel, buffer_len=ns.buffer_len,
+        batch_size=ns.buffer_len, num_epochs=ns.num_epochs,
+        num_total=ns.repeats * ns.buffer_len * ns.num_parallel,
+    )
+    env = make_env(
+        EnvParams(num_parallel=ns.num_parallel, episode_len=ns.episode_len),
+        TriangleInitConfig(num_parallel=ns.num_parallel, num_obstacles=3),
+        None,
+    )
+    mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
+    init_rng, loop_rng = jax.random.split(jax.random.PRNGKey(seed))
+    ts, env_state = mappo.init(init_rng)
+    collect = jax.jit(mappo.collect)
+    train_actor = jax.jit(mappo.train_actor)
+    train_critic = jax.jit(mappo.train_critic)
+
+    curve = []
+    for repeat in range(cfg.num_repeats):
+        env_state, buffer, metrics = collect(
+            ts, env_state, jax.random.fold_in(loop_rng, repeat))
+        ts, _ = train_actor(ts, buffer)
+        ts, _ = train_critic(ts, buffer)
+        curve.append(float(metrics.mean_rew))
+    return np.asarray(curve, np.float64)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--repeats", type=int, default=8)
+    parser.add_argument("--buffer-len", type=int, default=100,
+                        dest="buffer_len")
+    parser.add_argument("--num-parallel", type=int, default=16,
+                        dest="num_parallel")
+    parser.add_argument("--num-epochs", type=int, default=5,
+                        dest="num_epochs")
+    parser.add_argument("--episode-len", type=int, default=100,
+                        dest="episode_len")
+    parser.add_argument("--seeds", type=int, default=3)
+    parser.add_argument("--out", type=str, default="compare_reference.png")
+    parser.add_argument("--skip-plot", action="store_true")
+    parser.add_argument("--device", type=str, default="cpu",
+                        choices=["cpu", "default"],
+                        help="'cpu' (default) runs our trainer on CPU — "
+                             "apples-to-apples with the torch-CPU reference "
+                             "and no remote-TPU compile latency")
+    ns = parser.parse_args()
+
+    if ns.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    ref_curves, our_curves = [], []
+    for s in range(ns.seeds):
+        print(f"reference seed {s} ...", flush=True)
+        ref_curves.append(run_reference(ns, s))
+        print(f"marlnav_tpu seed {s} ...", flush=True)
+        our_curves.append(run_ours(ns, s))
+    ref = np.stack(ref_curves)
+    ours = np.stack(our_curves)
+
+    stats = {
+        "config": vars(ns),
+        "reference": {"mean": ref.mean(0).tolist(),
+                      "std": ref.std(0).tolist()},
+        "marlnav_tpu": {"mean": ours.mean(0).tolist(),
+                        "std": ours.std(0).tolist()},
+        # Fraction of rollouts where our seed-mean lies inside the
+        # reference's +-2 sigma seed band (and vice versa).
+        "ours_within_ref_2sigma": float(np.mean(
+            np.abs(ours.mean(0) - ref.mean(0))
+            <= 2 * ref.std(0) + 1e-9)),
+        "ref_within_ours_2sigma": float(np.mean(
+            np.abs(ref.mean(0) - ours.mean(0))
+            <= 2 * ours.std(0) + 1e-9)),
+    }
+    print(json.dumps(stats, indent=2))
+
+    if not ns.skip_plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(1, 1, figsize=(8, 5))
+        x = np.arange(ref.shape[1])
+        for data, color, label in ((ref, "tab:orange", "reference (torch)"),
+                                   (ours, "tab:blue", "marlnav_tpu")):
+            m, sd = data.mean(0), data.std(0)
+            ax.plot(x, m, color=color, label=label)
+            ax.fill_between(x, m - 2 * sd, m + 2 * sd, color=color, alpha=0.2)
+        ax.set(xlabel="rollout", ylabel="mean return",
+               title="MAPPO learning curves (seed mean +- 2 sigma)")
+        ax.legend()
+        fig.savefig(ns.out, dpi=120)
+        print(f"plot -> {ns.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -217,3 +217,38 @@ def test_rejects_unsupported_configs():
         make_env(ep, icfg, None).init(jax.random.PRNGKey(0))))
     with pytest.raises(ValueError):
         fused(bad, actor, 0)
+
+
+def test_sharded_fused_rollout_matches_unsharded():
+    """shard_map over a 2-device 'data' axis is bit-identical to the
+    single-program kernel when fed the same host noise (rollouts have no
+    cross-device communication, so sharding must not change semantics)."""
+    from marlnav_tpu.ops.sharded import make_sharded_fused_rollout
+    from marlnav_tpu.parallel import make_mesh
+
+    p_env, t = 2048, 4
+    ep = EnvParams(num_parallel=p_env, num_agents=A, episode_len=4)
+    icfg = TriangleInitConfig(num_parallel=p_env, num_obstacles=O)
+    env = make_env(ep, icfg, None)
+    actor = actor_init(jax.random.PRNGKey(1), ep.obs_size, 50, 2)
+    rows0 = env_state_to_rows(env.init(jax.random.PRNGKey(0)))
+    noise = host_noise(jax.random.PRNGKey(5), t, p_env)
+
+    kw = dict(deterministic_actions=True, interpret=True, noise_input=True)
+    mesh = make_mesh(num_data=2, num_model=1, devices=jax.devices()[:2])
+    sharded = make_sharded_fused_rollout(
+        ep, icfg, NormalizerConfig(num_agents=A), ScalerConfig(), t, mesh,
+        **kw)
+    rows_s, rew_s = sharded(rows0, actor, 7, noise=noise)
+    plain = make_fused_rollout(ep, icfg, NormalizerConfig(num_agents=A),
+                               ScalerConfig(), t, **kw)
+    rows_p, rew_p = plain(rows0, actor, 7, noise=noise)
+
+    np.testing.assert_array_equal(np.asarray(rew_s), np.asarray(rew_p))
+    for got, want in zip(rows_s, rows_p):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert not rew_s.sharding.is_fully_replicated
+
+    with pytest.raises(ValueError):
+        sharded(jax.tree.map(lambda x: x[..., :1024], rows0), actor, 7,
+                noise=noise)

@@ -56,7 +56,7 @@ def test_bench_cli_emits_one_json_line(monkeypatch):
     monkeypatch.setattr(bench, "HEADLINE", (8, 5))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        bench.main()
+        bench.main([])
     lines = buf.getvalue().strip().splitlines()
     assert len(lines) == 1
     rec = json.loads(lines[0])
