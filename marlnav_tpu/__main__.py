@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--output-root", type=str, default=None,
                         help="root for plots/ logs/ weights/ (default: cwd)")
+    parser.add_argument("--jit-repeats", type=int, default=1,
+                        help="full training repeats per device program "
+                             "(amortizes dispatch latency; weights/"
+                             "checkpoints save once per block)")
     parser.add_argument("--save-animation", type=str, default=None,
                         help="write the animation to this movie/GIF file "
                              "instead of opening a window")
@@ -128,6 +132,7 @@ def main(cfg: RunConfig, mode: str, args=None) -> None:
             checkpoint_interval=getattr(args, "checkpoint_interval", 10),
             resume=getattr(args, "resume", False),
             output_root=getattr(args, "output_root", None),
+            jit_repeats=getattr(args, "jit_repeats", 1),
         )
 
     elif mode == "rendering":

@@ -83,6 +83,7 @@ class MAPPO(NamedTuple):
     collect: Callable  # (TrainState, EnvState, rng) -> (EnvState, Buffer, RolloutMetrics)
     train_actor: Callable  # (TrainState, Buffer) -> (TrainState, losses)
     train_critic: Callable  # (TrainState, Buffer) -> (TrainState, losses)
+    train_many: Callable  # (TrainState, EnvState, rng, n) -> (ts, es, metrics, losses)
 
 
 def _sample_std(x: jax.Array) -> jax.Array:
@@ -329,4 +330,31 @@ def make_mappo(
         lambda ts, pr, op: ts._replace(critic=pr, critic_opt=op),
     )
 
-    return MAPPO(cfg, init, collect, train_actor, train_critic)
+    def train_many(ts: TrainState, env_state: EnvState, rng: jax.Array,
+                   num_repeats: int):
+        """``num_repeats`` full (collect -> train actor -> train critic)
+        cycles as ONE device program (``lax.scan`` over repeats).
+
+        The reference's outer repeat loop runs on the host
+        (reference __main__.py:23-27); so does ours by default (train.py) —
+        but on high-dispatch-latency links (remote TPU) host round trips
+        between the three phases dominate wall-clock, and this collapses a
+        whole block of repeats into a single dispatch.  Per-repeat metrics
+        and losses come back stacked, so logging fidelity is unchanged.
+        ``num_repeats`` is static (jit with static_argnums=3).
+        """
+
+        def body(carry, repeat):
+            ts, env_state = carry
+            r_rng = jax.random.fold_in(rng, repeat)
+            env_state, buffer, metrics = collect(ts, env_state, r_rng)
+            ts, actor_losses = train_actor(ts, buffer)
+            ts, critic_losses = train_critic(ts, buffer)
+            return (ts, env_state), (metrics, actor_losses, critic_losses)
+
+        (ts, env_state), (metrics, actor_losses, critic_losses) = jax.lax.scan(
+            body, (ts, env_state), jnp.arange(num_repeats), length=num_repeats
+        )
+        return ts, env_state, metrics, actor_losses, critic_losses
+
+    return MAPPO(cfg, init, collect, train_actor, train_critic, train_many)

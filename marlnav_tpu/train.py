@@ -39,6 +39,7 @@ def train(
     resume: bool = False,
     output_root: Optional[str] = None,
     verbose: bool = True,
+    jit_repeats: int = 1,
 ):
     """Run full MAPPO training per ``cfg``; returns the final TrainState.
 
@@ -46,7 +47,11 @@ def train(
     hidden dims over 'model' when ``tensor_parallel``).  With
     ``checkpoint_dir`` the complete state checkpoints every
     ``checkpoint_interval`` rollouts; ``resume=True`` continues from the
-    latest checkpoint there.
+    latest checkpoint there.  ``jit_repeats > 1`` runs that many full
+    repeats per device program (``MAPPO.train_many``) — same math and the
+    same per-repeat logs, but one dispatch per block instead of three per
+    repeat (matters on high-dispatch-latency links); weights/checkpoints
+    then save once per block.
     """
     assert cfg.model is not None, "train requires a model config"
     env = make_env(cfg.env, cfg.init, None)
@@ -85,28 +90,51 @@ def train(
 
     m = cfg.model
     steps_per_rollout = m.buffer_len * m.num_parallel
-    for repeat in range(start_repeat, m.num_repeats):
+    train_many = jax.jit(mappo.train_many, static_argnums=3)
+
+    repeat = start_repeat
+    while repeat < m.num_repeats:
+        block = min(jit_repeats, m.num_repeats - repeat)
         t0 = time.perf_counter()
-        rollout_rng = jax.random.fold_in(loop_rng, repeat)
-        env_state, buffer, metrics = collect(ts, env_state, rollout_rng)
-        ts, actor_losses = train_actor(ts, buffer)
-        ts, critic_losses = train_critic(ts, buffer)
-        jax.block_until_ready(ts)
+        if block == 1:
+            rollout_rng = jax.random.fold_in(loop_rng, repeat)
+            env_state, buffer, metrics = collect(ts, env_state, rollout_rng)
+            ts, actor_losses = train_actor(ts, buffer)
+            ts, critic_losses = train_critic(ts, buffer)
+            jax.block_until_ready(ts)
+            per_repeat = [(metrics, actor_losses, critic_losses)]
+        else:
+            # fold_in(fold_in(rng, block_start), i) gives each repeat a
+            # distinct stream; exact host-loop equality isn't required,
+            # only per-repeat independence.
+            block_rng = jax.random.fold_in(loop_rng, repeat)
+            ts, env_state, metrics, actor_losses, critic_losses = train_many(
+                ts, env_state, block_rng, block)
+            jax.block_until_ready(ts)
+            per_repeat = [
+                (jax.tree.map(lambda x: x[i], metrics),
+                 actor_losses[i], critic_losses[i])
+                for i in range(block)
+            ]
         dt = time.perf_counter() - t0
 
-        logger.log_rollout(metrics)
-        logger.log_losses(actor_losses, critic_losses)
+        for met_i, al_i, cl_i in per_repeat:
+            logger.log_rollout(met_i)
+            logger.log_losses(al_i, cl_i)
         logger.save_weights(ts)
         if ckpt is not None:
-            ckpt.save(repeat, (ts, env_state), logger.state_dict())
+            ckpt.save(repeat + block - 1, (ts, env_state),
+                      logger.state_dict())
 
         if verbose:
+            last_rew = logger.logs["mean_rews"][-1]
             print(
-                f"repeat {repeat + 1}/{m.num_repeats}: "
-                f"mean_rew {float(metrics.mean_rew):.3f}, "
-                f"{steps_per_rollout / dt:,.0f} env-steps/s "
-                f"(rollout+update {dt:.2f}s)"
+                f"repeat {repeat + block}/{m.num_repeats}: "
+                f"mean_rew {last_rew:.3f}, "
+                f"{block * steps_per_rollout / dt:,.0f} env-steps/s "
+                f"({block} repeat(s) in {dt:.2f}s)"
             )
+        repeat += block
 
     if ckpt is not None and m.num_repeats > start_repeat:
         ckpt.save(m.num_repeats - 1, (ts, env_state), logger.state_dict(),

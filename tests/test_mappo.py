@@ -204,3 +204,67 @@ def test_gae_mode_runs():
     env_state, buf, _ = jax.jit(mappo.collect)(ts, env_state, jax.random.PRNGKey(6))
     ts, losses = jax.jit(mappo.train_actor)(ts, buf)
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_train_many_matches_sequential_repeats():
+    """train_many(n) must produce exactly the same final state and metrics
+    as n sequential (collect -> actor -> critic) repeats with the same
+    per-repeat fold_in streams."""
+    import jax
+
+    from marlnav_tpu.config import (
+        EnvParams,
+        MAPPOConfig,
+        NormalizerConfig,
+        ScalerConfig,
+        TriangleInitConfig,
+    )
+    from marlnav_tpu.env import make_env
+
+    p, t, n = 8, 10, 3
+    cfg = MAPPOConfig(num_parallel=p, buffer_len=t, batch_size=5,
+                      num_epochs=2, num_total=t * p * n, hidden_size=16)
+    env = make_env(EnvParams(num_parallel=p, episode_len=6),
+                   TriangleInitConfig(num_parallel=p, num_obstacles=3), None)
+    mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
+    ts0, es0 = mappo.init(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+
+    # Sequential host loop.
+    ts, es = ts0, es0
+    seq_rews = []
+    for r in range(n):
+        es, buf, met = jax.jit(mappo.collect)(
+            ts, es, jax.random.fold_in(rng, r))
+        ts, _ = jax.jit(mappo.train_actor)(ts, buf)
+        ts, _ = jax.jit(mappo.train_critic)(ts, buf)
+        seq_rews.append(float(met.mean_rew))
+
+    ts2, es2, mets, al, cl = jax.jit(mappo.train_many, static_argnums=3)(
+        ts0, es0, rng, n)
+    np.testing.assert_allclose(np.asarray(mets.mean_rew), seq_rews,
+                               rtol=1e-5, atol=1e-5)
+    assert al.shape[0] == n and cl.shape[0] == n
+    for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(ts2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(es), jax.tree.leaves(es2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_train_driver_jit_repeats(tmp_path, monkeypatch):
+    """The training driver with --jit-repeats logs the same number of
+    per-repeat entries as the host loop."""
+    monkeypatch.chdir(tmp_path)
+    from marlnav_tpu.config import resolve_run_config
+    from marlnav_tpu.train import train
+    from marlnav_tpu.__main__ import build_parser
+
+    args = build_parser().parse_args(
+        ["-np", "4", "-nt", "320", "-bl", "20", "-bs", "10", "-ne", "2",
+         "-se", "3"])  # 4 repeats
+    cfg = resolve_run_config(args)
+    _, _, logger = train(cfg, verbose=False, jit_repeats=3)
+    assert len(logger.logs["mean_rews"]) == 4
+    assert len(logger.logs["actor"]) == 4 * 2 * 2  # repeats x epochs x mbs
