@@ -88,21 +88,27 @@ def train(
             if verbose:
                 print(f"resumed from checkpoint at repeat {step}")
 
+    if jit_repeats < 1:
+        raise ValueError(f"jit_repeats must be >= 1, got {jit_repeats}")
     m = cfg.model
     steps_per_rollout = m.buffer_len * m.num_parallel
     train_many = jax.jit(mappo.train_many, static_argnums=3)
 
     repeat = start_repeat
     while repeat < m.num_repeats:
-        block = min(jit_repeats, m.num_repeats - repeat)
+        # Partial tail blocks run one repeat at a time through the
+        # already-compiled single-repeat programs — a distinct block size
+        # would recompile the whole training scan for a few repeats.
+        remaining = m.num_repeats - repeat
+        block = jit_repeats if remaining >= jit_repeats else 1
         t0 = time.perf_counter()
         if block == 1:
             rollout_rng = jax.random.fold_in(loop_rng, repeat)
             env_state, buffer, metrics = collect(ts, env_state, rollout_rng)
             ts, actor_losses = train_actor(ts, buffer)
             ts, critic_losses = train_critic(ts, buffer)
-            jax.block_until_ready(ts)
-            per_repeat = [(metrics, actor_losses, critic_losses)]
+            per_repeat = [jax.device_get(
+                (metrics, actor_losses, critic_losses))]
         else:
             # fold_in(fold_in(rng, block_start), i) gives each repeat a
             # distinct stream; exact host-loop equality isn't required,
@@ -110,12 +116,13 @@ def train(
             block_rng = jax.random.fold_in(loop_rng, repeat)
             ts, env_state, metrics, actor_losses, critic_losses = train_many(
                 ts, env_state, block_rng, block)
-            jax.block_until_ready(ts)
-            per_repeat = [
-                (jax.tree.map(lambda x: x[i], metrics),
-                 actor_losses[i], critic_losses[i])
-                for i in range(block)
-            ]
+            # ONE host transfer for the whole block, then numpy slicing —
+            # per-repeat device fetches would reintroduce the round trips
+            # this path exists to remove.
+            stacked = jax.device_get((metrics, actor_losses, critic_losses))
+            per_repeat = [jax.tree.map(lambda x: x[i], stacked)
+                          for i in range(block)]
+        jax.block_until_ready(ts)
         dt = time.perf_counter() - t0
 
         for met_i, al_i, cl_i in per_repeat:
@@ -123,8 +130,14 @@ def train(
             logger.log_losses(al_i, cl_i)
         logger.save_weights(ts)
         if ckpt is not None:
-            ckpt.save(repeat + block - 1, (ts, env_state),
-                      logger.state_dict())
+            # Save when this block contains a multiple of the interval
+            # (plain step % interval gating would skip every block end
+            # whenever jit_repeats doesn't divide the interval).
+            last = repeat + block - 1
+            crosses = (last // ckpt.save_interval) > ((repeat - 1)
+                                                      // ckpt.save_interval)
+            ckpt.save(last, (ts, env_state), logger.state_dict(),
+                      force=crosses)
 
         if verbose:
             last_rew = logger.logs["mean_rews"][-1]

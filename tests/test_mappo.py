@@ -268,3 +268,32 @@ def test_train_driver_jit_repeats(tmp_path, monkeypatch):
     _, _, logger = train(cfg, verbose=False, jit_repeats=3)
     assert len(logger.logs["mean_rews"]) == 4
     assert len(logger.logs["actor"]) == 4 * 2 * 2  # repeats x epochs x mbs
+
+
+def test_train_driver_jit_repeats_checkpoints_and_validation(tmp_path,
+                                                             monkeypatch):
+    """Periodic checkpoints must fire when a block crosses the interval
+    even if block ends never land on a multiple; jit_repeats < 1 rejects."""
+    monkeypatch.chdir(tmp_path)
+    import os
+
+    import pytest as _pytest
+
+    from marlnav_tpu.config import resolve_run_config
+    from marlnav_tpu.train import train
+    from marlnav_tpu.__main__ import build_parser
+
+    args = build_parser().parse_args(
+        ["-np", "4", "-nt", "560", "-bl", "20", "-bs", "10", "-ne", "1",
+         "-se", "3"])  # 7 repeats
+    cfg = resolve_run_config(args)
+    ckpt_dir = str(tmp_path / "ck")
+    train(cfg, verbose=False, jit_repeats=3, checkpoint_dir=ckpt_dir,
+          checkpoint_interval=2, output_root=str(tmp_path / "a"))
+    # Blocks end at repeats 2, 5, 6(tail); intervals 0,2,4,6 all covered:
+    # every block crosses a multiple of 2, so every block saved.
+    steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    assert steps == [2, 5, 6]
+
+    with _pytest.raises(ValueError):
+        train(cfg, verbose=False, jit_repeats=0)
