@@ -111,6 +111,7 @@ def main(cfg: RunConfig, mode: str, args=None) -> None:
     import jax
 
     from marlnav_tpu.env import make_env
+    from marlnav_tpu.utils.seeding import make_rng
 
     if mode == "training":
         from marlnav_tpu.train import train
@@ -139,11 +140,11 @@ def main(cfg: RunConfig, mode: str, args=None) -> None:
         from marlnav_tpu.diagnostics import init_render
 
         env = make_env(cfg.env, cfg.init, cfg.sampler)
-        rng = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+        rng = make_rng(cfg.seed)
         renderer = init_render(
             env, cfg.animation, normalizer_cfg=cfg.normalizer,
             scaler_cfg=cfg.scaler,
-            hidden_size=cfg.model.hidden_size if cfg.model else 50, rng=rng,
+            hidden_size=cfg.animation.hidden_size, rng=rng,
         )
         save_path = getattr(args, "save_animation", None) if args else None
         renderer.run(save_path=save_path)
@@ -152,9 +153,8 @@ def main(cfg: RunConfig, mode: str, args=None) -> None:
         from marlnav_tpu.diagnostics import check_rews
 
         env = make_env(cfg.env, cfg.init, cfg.sampler)
-        rng = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
         check_rews(env, cfg.max_step, cfg.animation.parallel_index,
-                   cfg.animation.agent_index, rng=rng)
+                   cfg.animation.agent_index, rng=make_rng(cfg.seed))
 
     else:
         raise ValueError(f"unknown mode {mode!r}")

@@ -309,6 +309,9 @@ class AnimationConfig:
     weights_file: Optional[str] = None
     max_step: int = 1000
     interval: int = 10
+    # Actor width for policy rendering — rendering mode builds no model
+    # config, so the renderer carries the -hs flag itself.
+    hidden_size: int = 50
 
 
 # ---------------------------------------------------------------------------
@@ -417,6 +420,7 @@ def resolve_run_config(args) -> RunConfig:
         weights_file=getattr(args, "weights_file", None),
         max_step=args.max_step,
         interval=args.interval,
+        hidden_size=args.hidden_size,
     )
     return RunConfig(
         env=env,

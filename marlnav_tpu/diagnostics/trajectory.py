@@ -72,12 +72,14 @@ def rollout_trajectory(
     rng, init_key = jax.random.split(rng)
 
     def body(carry, step):
-        state, rng = carry
+        # The normalized post-reinit observations are carried through the
+        # scan (exactly as MAPPO.collect does) — recomputing them from the
+        # carried state would run the pairwise geometry twice per step.
+        state, obs, rng = carry
         if actor is None:
             actions = env.sample_actions(step)
         else:
             rng, k = jax.random.split(rng)
-            obs = normalize(env.observations(state))
             mean, var = actor_apply(actor, obs)
             if sample:
                 raw = DiagGaussian(mean, var).sample(k)
@@ -85,15 +87,18 @@ def rollout_trajectory(
                 raw = mean
             actions = scale_up(raw.reshape(p, a, 2))
         state, out = env.step(state, actions)
+        new_obs = normalize(out.obs) if actor is not None else obs
         frame = (state.states, state.obstacles, state.target,
                  out.obs, out.rewards, out.terminated, out.truncated)
-        return (state, rng), frame
+        return (state, new_obs, rng), frame
 
     @jax.jit
     def run(rng, init_key):
         state = env.init(init_key)
+        obs0 = (normalize(env.observations(state)) if actor is not None
+                else jnp.zeros(()))
         _, frames = jax.lax.scan(
-            body, (state, rng), jnp.arange(num_steps, dtype=jnp.int32)
+            body, (state, obs0, rng), jnp.arange(num_steps, dtype=jnp.int32)
         )
         return frames
 

@@ -29,9 +29,9 @@ with these documented deviations:
     trajectories differ from the jax.random path distribution-preservingly;
   * acos is the Hastings polynomial (Mosaic has no acos lowering), f32-
     exact to ~2e-8;
-  * the heading reward is ``dot > cos(max_angle_diff)`` — exactly
-    equivalent to ``|acos(dot)| < max_angle_diff`` with one transcendental
-    fewer;
+  * the heading reward is ``dot > cos(max_angle_diff)`` (exactly
+    equivalent to ``|acos(dot)| < max_angle_diff`` — acos is monotone)
+    with the env's zeroed-angle-inside-cap_distance quirk special-cased;
   * episode statistics counters are not accumulated (bench path only).
 
 Supports ``deterministic_actions`` (policy mean, no sampling) for
@@ -130,10 +130,14 @@ def _acos(x):
 
 
 def _bits_to_uniform(bits):
-    """Uniform [0, 1) from raw 32-bit PRNG output (int32 -> centered float).
+    """Uniform [0, 1) from raw 32-bit PRNG output (int32).
 
-    Pure math shared by the kernel and the host-side tests."""
-    return bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
+    Uses the top 24 bits so every value is exactly representable in
+    float32 and the result is strictly < 1.0 (a naive bits*2^-32+0.5
+    rounds up to exactly 1.0 for bits near 2^31, escaping the [0,1)
+    contract ~2^-25 of the time).  Pure math shared by the kernel and the
+    host-side tests."""
+    return ((bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)) + 0.5
 
 
 def _box_muller(u1, u2):
@@ -232,7 +236,11 @@ def make_fused_rollout(
         (w1t, b1, wmut, bmu, wvart, bvar,
          rew_out, pxf, pyf, dxf, dyf, spf, obxf, obyf, tgf, miscf,
          st) = rest
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # Variadic seeding folds (seed, block) through the PRNG's hash,
+        # so adjacent seeds do NOT produce overlapping per-block streams
+        # (additive seed+block would make block j of seed s identical to
+        # block j-1 of seed s+1).
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
         def uniforms(t, k, n):
             """n uniform (8,128) tiles for step t, draw slots k..k+n-1.
@@ -407,7 +415,13 @@ def make_fused_rollout(
                         bond_sum = bond_sum + 1.0 / (1.0 + scaled * scaled)
 
                     in_target = jnp.where(t_dist < p.target_radius, 1.0, 0.0)
-                    heading = jnp.where(t_dot > cos_head, 1.0, 0.0)
+                    # dot > cos(max_angle_diff) == |acos(dot)| < max_angle_diff
+                    # exactly; the cap_distance branch replicates the env's
+                    # zeroed-angle quirk (a zeroed angle always passes the
+                    # heading test, env.py _observations + reward.py).
+                    heading = jnp.where(
+                        t_dist < p.cap_distance, 1.0,
+                        jnp.where(t_dot > cos_head, 1.0, 0.0))
                     soft = -t_dist / p.init_dist
                     dist_sc = (jnp.minimum(band_sum, p.max_at_prop_d)
                                / p.max_at_prop_d)

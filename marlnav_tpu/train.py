@@ -27,6 +27,7 @@ import jax
 from marlnav_tpu.algo import make_mappo
 from marlnav_tpu.config import RunConfig, config_to_json
 from marlnav_tpu.env import make_env
+from marlnav_tpu.utils.seeding import make_rng
 from marlnav_tpu.utils.stats import StatsLogger
 
 
@@ -57,9 +58,7 @@ def train(
     env = make_env(cfg.env, cfg.init, None)
     mappo = make_mappo(cfg.model, env, cfg.normalizer, cfg.scaler)
 
-    seed = cfg.seed if cfg.seed is not None else 0
-    base_rng = jax.random.PRNGKey(seed)
-    init_rng, loop_rng = jax.random.split(base_rng)
+    init_rng, loop_rng = jax.random.split(make_rng(cfg.seed))
     ts, env_state = mappo.init(init_rng)
 
     if mesh is not None:

@@ -166,3 +166,15 @@ def test_policy_rendering_from_trained_weights(tmp_path, monkeypatch):
 def test_reward_check_rejects_policy():
     with pytest.raises(SystemExit):
         cli(["-rc", "-sa", "policy"])
+
+
+def test_policy_rendering_nondefault_hidden_size(tmp_path, monkeypatch):
+    """-hs must reach the renderer: rendering mode builds no model config,
+    so AnimationConfig carries the actor width (review finding)."""
+    run_cli(TINY_TRAIN + ["-hs", "24"], tmp_path, monkeypatch)
+    weights = os.path.basename(
+        glob.glob(str(tmp_path / "weights" / "*_actor.npz"))[0])
+    out = str(tmp_path / "anim_h24.gif")
+    run_cli(["-re", "-sa", "policy", "-hs", "24", "-w", weights, "-np", "2",
+             "-ms", "8", "--save-animation", out], tmp_path, monkeypatch)
+    assert os.path.getsize(out) > 0
