@@ -14,6 +14,7 @@ TPU-native additions:
                            the reference's dead ``load_config``)
   --save-animation         render headless to a movie file
   --fixed-semantics/--use-gae  corrected-MAPPO switches (SURVEY.md §2.5)
+  --staggered-resets       decorrelated episode phases (arXiv:2511.21011)
 """
 
 from __future__ import annotations
@@ -103,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "instead of reference-faithful quirks")
     parser.add_argument("--use-gae", action="store_true",
                         help="bootstrapped GAE instead of zero-at-done returns")
+    parser.add_argument("--staggered-resets", action="store_true",
+                        help="initialize per-env episode phases uniformly so "
+                             "truncations decorrelate across the batch "
+                             "(arXiv:2511.21011)")
     return parser
 
 

@@ -54,6 +54,13 @@ class EnvParams:
     target_factor: float = 500.0
     soft_factor: float = 500.0
     bond_factor: float = 10.0
+    # Staggered resets (off for reference parity): initialize per-env step
+    # counters uniformly over the episode so truncations (and the fresh
+    # low-reward episode starts that follow) spread across rollout steps
+    # instead of arriving in correlated waves every episode_len steps
+    # (arXiv:2511.21011 "Staggered Environment Resets Improve Massively
+    # Parallel On-Policy RL"; PAPERS.md).
+    staggered_resets: bool = False
 
     # Geometric constants (reference environment.py:55-68).
     ob_risk_dist: float = 60.0
@@ -379,6 +386,7 @@ def resolve_run_config(args) -> RunConfig:
         target_factor=args.target_factor,
         soft_factor=args.soft_factor,
         bond_factor=args.bond_factor,
+        staggered_resets=getattr(args, "staggered_resets", False),
     )
 
     model = None

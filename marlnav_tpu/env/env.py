@@ -97,13 +97,21 @@ def make_env(params: EnvParams, init_cfg, sampler_cfg=None) -> Env:
     mock_aliasing = isinstance(init_cfg, MockInitConfig)
 
     def init(rng: jax.Array) -> EnvState:
-        rng, key = jax.random.split(rng)
+        rng, key, k_stagger = jax.random.split(rng, 3)
         states, obstacles, target = init_fn(key)
+        if params.staggered_resets:
+            # Uniform initial phases: each env truncates at a different
+            # step, decorrelating episode boundaries across the batch
+            # (see EnvParams.staggered_resets).
+            step_num = jax.random.randint(
+                k_stagger, (p,), 0, params.episode_len, jnp.int32)
+        else:
+            step_num = jnp.zeros((p,), jnp.int32)
         return EnvState(
             states=states,
             obstacles=obstacles,
             target=target,
-            step_num=jnp.zeros((p,), jnp.int32),
+            step_num=step_num,
             terminates=jnp.zeros((p,), bool),
             stats=EpisodeStats.zeros(),
             rng=rng,

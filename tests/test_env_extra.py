@@ -108,3 +108,32 @@ def test_constant_sampler_scenario_semantics():
     # x strictly increasing by the current speed.
     dx = np.diff(sc[:, :, :, 0], axis=0)
     np.testing.assert_allclose(dx, sc[1:, :, :, 4], atol=1e-3)
+
+
+def test_staggered_resets_decorrelate_truncations():
+    """With staggered_resets, initial phases are spread over the episode and
+    truncations arrive steadily instead of in one synchronized wave."""
+    p, ep_len = 512, 50
+    env_s = make_env(
+        EnvParams(num_parallel=p, episode_len=ep_len, staggered_resets=True),
+        TriangleInitConfig(num_parallel=p, num_obstacles=3),
+        ConstantSamplerConfig(num_parallel=p, num_agents=3),
+    )
+    s0 = env_s.init(jax.random.PRNGKey(0))
+    sn = np.asarray(s0.step_num)
+    assert sn.min() >= 0 and sn.max() < ep_len and np.unique(sn).size > 20
+
+    # Default env: all envs share phase 0 -> first truncation wave is
+    # synchronized; staggered env truncates a bit every step.
+    @jax.jit
+    def truncs(e_init):
+        def body(carry, step):
+            state = carry
+            state, out = env_s.step(state, env_s.sample_actions(step))
+            return state, jnp.sum(out.truncated)
+        return jax.lax.scan(body, e_init, jnp.arange(ep_len, dtype=jnp.int32))
+
+    _, per_step = truncs(s0)
+    per_step = np.asarray(per_step)
+    assert (per_step > 0).mean() > 0.9  # truncations nearly every step
+    assert per_step.max() < p / 4  # no synchronized wave
