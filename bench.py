@@ -58,7 +58,7 @@ from marlnav_tpu.utils.transforms import make_action_scaler, make_obs_normalizer
 NUM_AGENTS = 3
 BASELINE_TARGET = 10e6  # north-star aggregate env-steps/s (BASELINE.json)
 HEADLINE = (16384, 500)  # (num_envs, steps per jitted rollout)
-TIMED_CALLS = 3
+TIMED_CALLS = 5
 
 
 def _build_env(num_envs: int):
