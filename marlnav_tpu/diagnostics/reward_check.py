@@ -33,8 +33,7 @@ def _save_plot(fig, filename: str, directory: str) -> None:
     import matplotlib.pyplot as plt
 
     os.makedirs(directory, exist_ok=True)
-    fig.savefig(os.path.join(filename if os.path.isabs(filename) else
-                             os.path.join(directory, filename)))
+    fig.savefig(os.path.join(directory, filename))
     plt.close(fig)
 
 

@@ -203,6 +203,7 @@ def make_fused_rollout(
     cos_head = math.cos(p.max_angle_diff)
     obs_size = p.obs_size  # 2 + 2O + 2(A-1)
     tile = (_SUB, _LANE)
+    n_rows = 5 * a + 2 * o + 4  # state rows: agents*5 + obstacles*2 + tg + misc
 
     def geom(px_a, py_a, hx_a, hy_a, tx, ty):
         """Angle + distance from one agent's (8,128) tile to one point tile.
@@ -254,7 +255,6 @@ def make_fused_rollout(
             return [u[j] for j in range(n)]
 
         # ---- load the block into the 3D (rows, 8, 128) scratch ----
-        n_rows = 5 * a + 2 * o + 4
         st[:] = jnp.concatenate(
             [px0[:], py0[:], dx0[:], dy0[:], sp0[:], obx0[:], oby0[:],
              tg0[:], misc0[:]], axis=0,
@@ -509,14 +509,9 @@ def make_fused_rollout(
             raise ValueError(
                 f"num_envs {num_envs} not divisible by {BLOCK_ENVS}")
         grid = (num_envs // BLOCK_ENVS,)
-        n_rows = 5 * a + 2 * o + 4
 
         def row_spec(rows_dim):
             return pl.BlockSpec((rows_dim, BLOCK_ENVS), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)
-
-        def full_spec(shape):
-            return pl.BlockSpec(shape, lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
 
         state_specs = [row_spec(a)] * 5 + [row_spec(o)] * 2 + [row_spec(2),
