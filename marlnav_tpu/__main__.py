@@ -104,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "instead of reference-faithful quirks")
     parser.add_argument("--use-gae", action="store_true",
                         help="bootstrapped GAE instead of zero-at-done returns")
+    parser.add_argument("--fused-collect", action="store_true",
+                        help="use the fused Pallas rollout kernel for "
+                             "training data collection (TPU, triangle "
+                             "scenarios, single chip; ~20x faster rollouts)")
     parser.add_argument("--staggered-resets", action="store_true",
                         help="initialize per-env episode phases uniformly so "
                              "truncations decorrelate across the batch "
@@ -139,6 +143,7 @@ def main(cfg: RunConfig, mode: str, args=None) -> None:
             resume=getattr(args, "resume", False),
             output_root=getattr(args, "output_root", None),
             jit_repeats=getattr(args, "jit_repeats", 1),
+            fused_collect=getattr(args, "fused_collect", False),
         )
 
     elif mode == "rendering":

@@ -1,0 +1,344 @@
+"""Pallas TPU kernel: the MAPPO training rollout (collect) fused into one op.
+
+Extends the bench kernel (fused_rollout.py — same physics via
+step_math.py) to emit the full training buffer the PPO updates consume:
+normalized observations, raw sampled actions, per-agent log-probs, the
+centralized critic's values, rewards, done flags, and the episode-ending
+statistics counters — the exact record `MAPPO.collect` builds with a
+lax.scan (algo/mappo.py), produced by one VMEM-resident kernel instead.
+
+Unlike the bench kernel, the outputs here are large (the buffer IS the
+product), so the grid is 2-D: (env blocks, time chunks).  Time chunks
+iterate fastest; the env-state scratch persists across the chunks of a
+block (initialized at chunk 0, flushed to the state outputs whose block
+index only depends on the env block), so each chunk's outputs stream
+through a small VMEM window while the trajectory stays resident.
+
+Log-prob identity used: actions are reconstructed as mu + sqrt(var) * z,
+so (a - mu)^2 / var == z^2 and
+  log p(a) = -0.5 * (2*log(2*pi) + log v0 + log v1 + z0^2 + z1^2)
+— matching DiagGaussian.log_prob (models/distributions.py) exactly.
+
+RNG provenance differs from the jax.random path (TPU core PRNG), as for
+the bench kernel; everything else is op-for-op.  Supports interpret mode
++ host-injected noise for CPU tests (see fused_rollout.py notes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from marlnav_tpu.algo.mappo import (
+    Buffer,
+    RolloutMetrics,
+    _sample_std,
+    discounted_returns,
+    gae_advantages,
+)
+from marlnav_tpu.config import MAPPOConfig
+from marlnav_tpu.env.types import EpisodeStats
+from marlnav_tpu.models import critic_apply
+from marlnav_tpu.ops.fused_rollout import RowState, untile
+from marlnav_tpu.ops.step_math import (
+    BLOCK_ENVS,
+    LANE,
+    SUB,
+    StepMath,
+    box_muller,
+    uniform01,
+)
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def _untile_rows(x: jax.Array, num_envs: int) -> jax.Array:
+    """(T, R, 8, nb*128) tiled feature-rows output -> (T, P, R)."""
+    t, r = x.shape[0], x.shape[1]
+    nb = num_envs // BLOCK_ENVS
+    return (x.reshape(t, r, SUB, nb, LANE)
+            .transpose(0, 3, 2, 4, 1).reshape(t, num_envs, r))
+
+
+def _time_chunk(num_steps: int, cap: int = 16) -> int:
+    """Largest divisor of num_steps <= cap (VMEM window per grid step)."""
+    for c in range(min(cap, num_steps), 0, -1):
+        if num_steps % c == 0:
+            return c
+    return 1
+
+
+def make_fused_collect(
+    cfg: MAPPOConfig,
+    env_params,
+    init_cfg,
+    normalizer_cfg,
+    scaler_cfg,
+    interpret: bool = False,
+    noise_input: bool = False,
+):
+    """Build ``collect(ts, rows, seed[, noise]) -> (rows', Buffer,
+    RolloutMetrics)`` — a drop-in for ``MAPPO.collect`` operating on the
+    RowState layout.  ``seed`` is a scalar int32; per-(block, chunk)
+    PRNG streams derive from it."""
+    sm = StepMath(env_params, init_cfg, normalizer_cfg, scaler_cfg)
+    a, o, n_rows, n_draws = sm.a, sm.o, sm.n_rows, sm.n_draws
+    num_steps = cfg.buffer_len
+    t_chunk = _time_chunk(num_steps)
+    n_chunks = num_steps // t_chunk
+    obs_size = sm.obs_size
+    obs_rows = a * obs_size
+    h_size = cfg.hidden_size
+    hc_size = cfg.hidden_size
+
+    def kernel(seed_ref,
+               px0, py0, dx0, dy0, sp0, obx0, oby0, tg0, misc0,
+               *rest):
+        if noise_input:
+            noise_ref, *rest = rest
+        else:
+            noise_ref = None
+        (w1t, b1, wmut, bmu, wvart, bvar, wc1t, bc1, wc2t, bc2,
+         rew_out, obs_out, act_out, lp_out, vd_out, stats_out,
+         pxf, pyf, dxf, dyf, spf, obxf, obyf, tgf, miscf,
+         st, stats) = rest
+        block_id = pl.program_id(0)
+        chunk_id = pl.program_id(1)
+        # Independent stream per (seed, block, chunk) — chunks would
+        # otherwise repeat their noise after each reseed.  Mosaic folds at
+        # most 2 seed values, so block/chunk combine into one.
+        pltpu.prng_seed(seed_ref[0], block_id * n_chunks + chunk_id)
+
+        @pl.when(chunk_id == 0)
+        def _():
+            st[:] = jnp.concatenate(
+                [px0[:], py0[:], dx0[:], dy0[:], sp0[:], obx0[:], oby0[:],
+                 tg0[:], misc0[:]], axis=0,
+            ).reshape(n_rows, SUB, LANE)
+            stats[:] = jnp.zeros((3, SUB, LANE), jnp.float32)
+
+        def uniforms(t, k, n):
+            if noise_input:
+                return [noise_ref[t, k + j] for j in range(n)]
+            u = uniform01((n, SUB, LANE))
+            return [u[j] for j in range(n)]
+
+        def step(t, _):
+            px = [st[sm.PX + i] for i in range(a)]
+            py = [st[sm.PY + i] for i in range(a)]
+            hx = [st[sm.DX + i] for i in range(a)]
+            hy = [st[sm.DY + i] for i in range(a)]
+            sp = [st[sm.SP + i] for i in range(a)]
+            obx = [st[sm.OBX + i] for i in range(o)]
+            oby = [st[sm.OBY + i] for i in range(o)]
+            tx, ty = st[sm.TG], st[sm.TG + 1]
+            step_num = st[sm.SN]
+            latch = st[sm.LAT]
+
+            feats_all = sm.obs_feats(px, py, hx, hy, obx, oby, tx, ty)
+            obs_out[pl.ds(t, 1)] = jnp.concatenate(
+                [f[None] for feats in feats_all for f in feats], axis=0,
+            ).reshape(1, obs_rows, SUB, LANE)
+
+            un = uniforms(t, 0, 2 * a)
+            ang_raw, acc_raw, lp = [], [], []
+            for i in range(a):
+                mu, var = sm.actor_mlp(feats_all[i], w1t, b1, wmut, bmu,
+                                       wvart, bvar, h_size, want_var=True)
+                z0, z1 = box_muller(un[2 * i], un[2 * i + 1])
+                ang_raw.append(mu[0] + jnp.sqrt(var[0]) * z0)
+                acc_raw.append(mu[1] + jnp.sqrt(var[1]) * z1)
+                lp.append(-0.5 * (2.0 * _LOG_2PI + jnp.log(var[0])
+                                  + jnp.log(var[1]) + z0 * z0 + z1 * z1))
+            act_out[pl.ds(t, 1)] = jnp.concatenate(
+                [v[None] for pair in zip(ang_raw, acc_raw) for v in pair],
+                axis=0,
+            ).reshape(1, 2 * a, SUB, LANE)
+            lp_out[pl.ds(t, 1)] = jnp.concatenate(
+                [v[None] for v in lp], axis=0).reshape(1, a, SUB, LANE)
+
+            # Centralized critic on the SAME pre-step observations
+            # (algo/mappo.py collect: values = critic(obs)).
+            value = sm.critic_mlp(feats_all, wc1t, bc1, wc2t, bc2, hc_size)
+
+            npx, npy, nhx, nhy, nsp = sm.dynamics(px, py, hx, hy, sp,
+                                                  ang_raw, acc_raw)
+            step_num = step_num + 1.0
+            trunc = jnp.where(step_num > float(sm.p.episode_len - 1),
+                              1.0, 0.0)
+
+            reward, all_in_target, any_coll = sm.rewards(
+                npx, npy, nhx, nhy, obx, oby, tx, ty)
+            rew_out[pl.ds(t, 1), :, :] = reward.reshape(1, SUB, LANE)
+
+            terminated = jnp.maximum(any_coll, latch)
+            finished = jnp.maximum(terminated, trunc)
+            new_latch = jnp.where(latch > 0.5, 0.0, all_in_target)
+            vd_out[pl.ds(t, 1)] = jnp.concatenate(
+                [value[None], finished[None]], axis=0,
+            ).reshape(1, 2, SUB, LANE)
+
+            # On-device episode stats (env/types.py EpisodeStats): the
+            # reference syncs these per step (environment.py:98, 210-211).
+            stats[0] = stats[0] + trunc
+            stats[1] = stats[1] + any_coll
+            stats[2] = stats[2] + all_in_target
+
+            u = [uu - 0.5 for uu in uniforms(t, 2 * a, 2 * o)]
+            sm.reset_blend(st, finished, 1.0 - finished, npx, npy, nhx, nhy,
+                           nsp, obx, oby, step_num, new_latch, u)
+            return 0
+
+        jax.lax.fori_loop(0, t_chunk, step, 0, unroll=bool(interpret))
+
+        # State + stats outputs' block index ignores the chunk dimension,
+        # so they are flushed once per env block (after the last chunk).
+        flat = st[:].reshape(n_rows, BLOCK_ENVS)
+        pxf[:] = flat[sm.PX:sm.PX + a]
+        pyf[:] = flat[sm.PY:sm.PY + a]
+        dxf[:] = flat[sm.DX:sm.DX + a]
+        dyf[:] = flat[sm.DY:sm.DY + a]
+        spf[:] = flat[sm.SP:sm.SP + a]
+        obxf[:] = flat[sm.OBX:sm.OBX + o]
+        obyf[:] = flat[sm.OBY:sm.OBY + o]
+        tgf[:] = flat[sm.TG:sm.TG + 2]
+        miscf[:] = flat[sm.SN:sm.SN + 2]
+        stats_out[:] = stats[:]
+
+    def run_kernel(rows: RowState, actor, critic, seed, noise):
+        num_envs = rows.px.shape[-1]
+        if num_envs % BLOCK_ENVS != 0:
+            raise ValueError(
+                f"num_envs {num_envs} not divisible by {BLOCK_ENVS}")
+        if noise_input and noise is None:
+            raise ValueError("noise_input=True requires a noise array")
+        nb = num_envs // BLOCK_ENVS
+        grid = (nb, n_chunks)
+
+        def row_spec(rows_dim):
+            return pl.BlockSpec((rows_dim, BLOCK_ENVS), lambda i, j: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        def chunk_spec(rows_dim):
+            """(T, rows, 8, nb*128) outputs, one (t_chunk, ...) window."""
+            return pl.BlockSpec((t_chunk, rows_dim, SUB, LANE),
+                                lambda i, j: (j, 0, 0, i),
+                                memory_space=pltpu.VMEM)
+
+        def chunk_shape(rows_dim):
+            return jax.ShapeDtypeStruct(
+                (num_steps, rows_dim, SUB, nb * LANE), jnp.float32)
+
+        state_specs = [row_spec(a)] * 5 + [row_spec(o)] * 2 + [row_spec(2),
+                                                               row_spec(2)]
+        state_shapes = [
+            jax.ShapeDtypeStruct(x.shape, jnp.float32)
+            for x in (rows.px, rows.py, rows.dx, rows.dy, rows.sp,
+                      rows.obx, rows.oby, rows.tg, rows.misc)
+        ]
+        param_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 10
+        noise_specs, noise_args = [], []
+        if noise_input:
+            noise_specs = [pl.BlockSpec(
+                (t_chunk, n_draws, SUB, LANE), lambda i, j: (j, 0, 0, i),
+                memory_space=pltpu.VMEM)]
+            noise_args = [noise]
+
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + state_specs + noise_specs + param_specs,
+            out_specs=[
+                pl.BlockSpec((t_chunk, SUB, LANE), lambda i, j: (j, 0, i),
+                             memory_space=pltpu.VMEM),  # rewards
+                chunk_spec(obs_rows),
+                chunk_spec(2 * a),
+                chunk_spec(a),
+                chunk_spec(2),
+                pl.BlockSpec((3, SUB, LANE), lambda i, j: (0, 0, i),
+                             memory_space=pltpu.VMEM),  # stats
+            ] + state_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((num_steps, SUB, nb * LANE),
+                                     jnp.float32),
+                chunk_shape(obs_rows),
+                chunk_shape(2 * a),
+                chunk_shape(a),
+                chunk_shape(2),
+                jax.ShapeDtypeStruct((3, SUB, nb * LANE), jnp.float32),
+            ] + state_shapes,
+            scratch_shapes=[
+                pltpu.VMEM((n_rows, SUB, LANE), jnp.float32),
+                pltpu.VMEM((3, SUB, LANE), jnp.float32),
+            ],
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(
+            jnp.asarray([seed], jnp.int32),
+            rows.px, rows.py, rows.dx, rows.dy, rows.sp,
+            rows.obx, rows.oby, rows.tg, rows.misc,
+            *noise_args,
+            actor.fc1.w.T, actor.fc1.b[:, None],
+            actor.fc_mu.w.T, actor.fc_mu.b[:, None],
+            actor.fc_var.w.T, actor.fc_var.b[:, None],
+            critic.fc1.w.T, critic.fc1.b[:, None],
+            critic.fc2.w.T, critic.fc2.b[:, None],
+        )
+        (rew, obs_t, act_t, lp_t, vd_t, stats_t, *state) = out
+        return RowState(*state), rew, obs_t, act_t, lp_t, vd_t, stats_t
+
+    def collect(ts, rows: RowState, seed, noise=None):
+        """Fused-kernel drop-in for ``MAPPO.collect`` (algo/mappo.py):
+        same Buffer layout and returns processing, RowState env state."""
+        num_envs = rows.px.shape[-1]
+        rows2, rew, obs_t, act_t, lp_t, vd_t, stats_t = run_kernel(
+            rows, ts.actor, ts.critic, seed, noise)
+
+        rewards = untile(rew, num_envs)  # (T, P)
+        obs = _untile_rows(obs_t, num_envs).reshape(
+            num_steps, num_envs, a, obs_size)
+        actions = _untile_rows(act_t, num_envs).reshape(
+            num_steps, num_envs, a, 2)
+        log_probs = _untile_rows(lp_t, num_envs).reshape(
+            num_steps, num_envs * a)
+        vd = _untile_rows(vd_t, num_envs)  # (T, P, 2)
+        values = vd[:, :, :1]
+        done = vd[:, :, 1] > 0.5
+
+        # Returns processing — identical to algo/mappo.py collect.
+        rets = discounted_returns(rewards, done, cfg.gamma)
+        mean_rew = jnp.mean(rets)
+        if cfg.use_gae:
+            last_value = critic_apply(ts.critic, final_obs(rows2))[:, 0]
+            adv = gae_advantages(rewards, done, values[..., 0], last_value,
+                                 cfg.gamma, cfg.gae_lambda)
+            rets = adv + values[..., 0]
+        else:
+            rets = (rets - mean_rew) / (_sample_std(rets) + 1e-12)
+
+        stats = EpisodeStats(
+            num_trunc=jnp.sum(stats_t[0]).astype(jnp.int32),
+            num_col=jnp.sum(stats_t[1]).astype(jnp.int32),
+            num_tar=jnp.sum(stats_t[2]).astype(jnp.int32),
+        )
+        buffer = Buffer(obs, actions, log_probs, values, rets, done)
+        return rows2, buffer, RolloutMetrics(mean_rew, stats)
+
+    def final_obs(rows2: RowState):
+        """(P, A, obs) normalized observations of the final state, for the
+        GAE bootstrap value — plain XLA on the converted row layout."""
+        from marlnav_tpu.env import geometry
+        from marlnav_tpu.env.env import _observations
+        from marlnav_tpu.ops.fused_rollout import rows_to_env_arrays
+        from marlnav_tpu.utils.transforms import make_obs_normalizer
+
+        states, obstacles, target, _, _ = rows_to_env_arrays(rows2)
+        obs = _observations(states, obstacles, target, sm.p,
+                            geometry.others_indices(a))
+        return make_obs_normalizer(normalizer_cfg)(obs)
+
+    return collect

@@ -11,7 +11,9 @@ steps of
   auto-reset draw + mask blend
 
 writing only the (T, P) rewards to HBM.  HBM traffic per env step drops
-from ~25 state round trips to 4 output bytes.
+from ~25 state round trips to 4 output bytes.  (The training-buffer
+variant that also emits observations/actions/log-probs/values lives in
+fused_collect.py; both kernels share their physics via step_math.py.)
 
 Layout: each block holds 1024 envs viewed as an (8, 128) VPU tile —
 sublane x lane — so EVERY elementwise op runs at full vector-unit
@@ -32,7 +34,8 @@ with these documented deviations:
   * the heading reward is ``dot > cos(max_angle_diff)`` (exactly
     equivalent to ``|acos(dot)| < max_angle_diff`` — acos is monotone)
     with the env's zeroed-angle-inside-cap_distance quirk special-cased;
-  * episode statistics counters are not accumulated (bench path only).
+  * episode statistics counters are not accumulated (bench path only —
+    the collect kernel accumulates them).
 
 Supports ``deterministic_actions`` (policy mean, no sampling) for
 tight-tolerance tests against the XLA path, TPU-semantics interpret mode
@@ -40,14 +43,13 @@ on CPU via ``interpret=True``, and host-injected noise via
 ``noise_input=True`` (deterministic replay + CPU tests, since the
 interpreter's in-kernel PRNG is non-functional in this jax version).
 
-Measured on one TPU v5e chip at 16384 envs, T=500: ~363M env-steps/s
-(4.5x the XLA lax.scan path at its own optimum, ~80M; >30x the 10M
+Measured on one TPU v5e chip at 16384 envs, T=500: 305-372M env-steps/s
+(~4.5x the XLA lax.scan path at its own optimum, ~80M; >30x the 10M
 BASELINE.json multi-host north-star).
 """
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax
@@ -61,13 +63,22 @@ from marlnav_tpu.config import (
     ScalerConfig,
     TriangleInitConfig,
 )
+from marlnav_tpu.ops.step_math import (
+    BLOCK_ENVS,
+    LANE,
+    SUB,
+    StepMath,
+    uniform01,
+)
 
-_NORMALIZE_EPS = 1e-12
-_ACOS_CLAMP = 1e-8
-_TWO_PI = 2.0 * math.pi
+# Re-exported for tests and historical callers.
+from marlnav_tpu.ops.step_math import (  # noqa: F401
+    acos as _acos,
+    bits_to_uniform as _bits_to_uniform,
+    box_muller as _box_muller,
+)
 
-_SUB, _LANE = 8, 128
-BLOCK_ENVS = _SUB * _LANE  # 1024 envs per grid step, one full VPU tile
+_SUB, _LANE = SUB, LANE
 
 
 class RowState(NamedTuple):
@@ -116,41 +127,13 @@ def rows_to_env_arrays(rows: RowState):
             rows.misc[0].astype(jnp.int32), rows.misc[1] > 0.5)
 
 
-def _acos(x):
-    """arccos for x in [-1, 1] — Mosaic has no acos/atan2 lowering, so use
-    the Hastings polynomial (Abramowitz & Stegun 4.4.45), |err| <= 2e-8:
-    f32-exact for this workload."""
-    ax = jnp.abs(x)
-    poly = jnp.float32(-0.0012624911)
-    for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
-              0.0889789874, -0.2145988016, 1.5707963050):
-        poly = poly * ax + jnp.float32(c)
-    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * poly
-    return jnp.where(x < 0.0, math.pi - r, r)
-
-
-def _bits_to_uniform(bits):
-    """Uniform [0, 1) from raw 32-bit PRNG output (int32).
-
-    Uses the top 24 bits so every value is exactly representable in
-    float32 and the result is strictly < 1.0 (a naive bits*2^-32+0.5
-    rounds up to exactly 1.0 for bits near 2^31, escaping the [0,1)
-    contract ~2^-25 of the time).  Pure math shared by the kernel and the
-    host-side tests."""
-    return ((bits >> 8).astype(jnp.float32) * (1.0 / 16777216.0)) + 0.5
-
-
-def _box_muller(u1, u2):
-    """(z0, z1) standard-normal pair from two uniforms.  Pure math shared
-    by the kernel and the host-side distribution tests."""
-    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
-    th = _TWO_PI * u2
-    return r * jnp.cos(th), r * jnp.sin(th)
-
-
-def _uniform01(shape):
-    """Uniform [0, 1) from the in-kernel PRNG."""
-    return _bits_to_uniform(pltpu.prng_random_bits(shape))
+def untile(tiled: jax.Array, num_envs: int) -> jax.Array:
+    """(T, 8, nb*128) tile-layout output -> (T, P): env p maps to
+    (block, sublane, lane) = (p // 1024, (p % 1024) // 128, p % 128)."""
+    t = tiled.shape[0]
+    nb = num_envs // BLOCK_ENVS
+    return (tiled.reshape(t, SUB, nb, LANE)
+            .transpose(0, 2, 1, 3).reshape(t, num_envs))
 
 
 def make_fused_rollout(
@@ -162,7 +145,6 @@ def make_fused_rollout(
     deterministic_actions: bool = False,
     interpret: bool = False,
     noise_input: bool = False,
-    _ablate: frozenset = frozenset(),
 ):
     """Build ``rollout(rows, actor_params, seed) -> (rows', rewards)``.
 
@@ -171,61 +153,9 @@ def make_fused_rollout(
     (num_steps, P).  Requires the default 3-agent triangle scenario family
     (non-noisy init) — the production perf path.
     """
-    p = env_params
-    a, o = p.num_agents, p.num_obstacles
-    if init_cfg.noisy_ags:
-        raise NotImplementedError("fused rollout: noisy_ags not supported")
-    if a != 3:
-        raise NotImplementedError("fused rollout assumes 3 agents")
-
-    # Triangle-init constants (initializers.py make_triangle_initializer).
-    pos_const = 0.5 * init_cfg.ags_dist
-    r3 = math.sqrt(3.0)
-    base_x = tuple(init_cfg.ags_cent_x + pos_const * v
-                   for v in (-1.0 / r3, 2.0 / r3, -1.0 / r3))
-    base_y = tuple(init_cfg.ags_cent_y + pos_const * v for v in (1.0, 0.0, -1.0))
-    ox_range = init_cfg.obst_max_x - init_cfg.obst_min_x
-    oy_range = init_cfg.obst_max_y - init_cfg.obst_min_y
-    ox_mean = 0.5 * (init_cfg.obst_min_x + init_cfg.obst_max_x)
-    oy_mean = 0.5 * (init_cfg.obst_min_y + init_cfg.obst_max_y)
-
-    # Normalizer feature scales (transforms.py): angles in [-pi, pi],
-    # distances in [0, max_dist] -> [-1, 1].
-    max_dist = math.hypot(normalizer_cfg.max_x_value, normalizer_cfg.max_y_value)
-    inv_pi = 1.0 / math.pi
-    d_scale = 2.0 / max_dist  # x * d_scale - 1
-
-    # Action scaler: raw [-1,1] -> [angle, accel] physical.
-    (amin, cmin), (amax, cmax) = scaler_cfg.bounds()
-    ang_mean, ang_scale = 0.5 * (amin + amax), 0.5 * (amax - amin)
-    acc_mean, acc_scale = 0.5 * (cmin + cmax), 0.5 * (cmax - cmin)
-
-    cos_head = math.cos(p.max_angle_diff)
-    obs_size = p.obs_size  # 2 + 2O + 2(A-1)
-    tile = (_SUB, _LANE)
-    n_rows = 5 * a + 2 * o + 4  # state rows: agents*5 + obstacles*2 + tg + misc
-
-    def geom(px_a, py_a, hx_a, hy_a, tx, ty):
-        """Angle + distance from one agent's (8,128) tile to one point tile.
-
-        Same math as env/geometry.py angles_and_distances."""
-        ddx = tx - px_a
-        ddy = ty - py_a
-        dist = jnp.sqrt(ddx * ddx + ddy * ddy)
-        inv = 1.0 / jnp.maximum(dist, _NORMALIZE_EPS)
-        ux = ddx * inv
-        uy = ddy * inv
-        dot = jnp.clip(hx_a * ux + hy_a * uy, -1.0 + _ACOS_CLAMP,
-                       1.0 - _ACOS_CLAMP)
-        orth_x = ux - dot * hx_a
-        sign = jnp.where(orth_x > 0.0, -1.0, 1.0)
-        ang = sign * _acos(dot)
-        ang = jnp.where(dist < p.cap_distance, 0.0, ang)
-        return ang, dist
-
+    sm = StepMath(env_params, init_cfg, normalizer_cfg, scaler_cfg)
+    a, o, n_rows, n_draws = sm.a, sm.o, sm.n_rows, sm.n_draws
     h_size = None  # set at build time from the actor pytree
-
-    n_draws = 2 * a + 2 * o  # uniforms per step: action pairs + obstacles
 
     def kernel(seed_ref,
                px0, py0, dx0, dy0, sp0, obx0, oby0, tg0, misc0,
@@ -251,7 +181,7 @@ def make_fused_rollout(
             in this jax version — returns zeros inside kernels)."""
             if noise_input:
                 return [noise_ref[t, k + j] for j in range(n)]
-            u = _uniform01((n, _SUB, _LANE))
+            u = uniform01((n, _SUB, _LANE))
             return [u[j] for j in range(n)]
 
         # ---- load the block into the 3D (rows, 8, 128) scratch ----
@@ -259,192 +189,46 @@ def make_fused_rollout(
             [px0[:], py0[:], dx0[:], dy0[:], sp0[:], obx0[:], oby0[:],
              tg0[:], misc0[:]], axis=0,
         ).reshape(n_rows, _SUB, _LANE)
-        PX, PY, DX, DY, SP = 0, a, 2 * a, 3 * a, 4 * a
-        OBX, OBY = 5 * a, 5 * a + o
-        TG = 5 * a + 2 * o
-        SN, LAT = TG + 2, TG + 3
-
-# (MLP weight scalars are read from SMEM inside the loop body — reading
-        # them once up front keeps 700+ scalars live across the time loop and
-        # forces per-iteration register spills.)
 
         def step(t, _):
-            px = [st[PX + i] for i in range(a)]
-            py = [st[PY + i] for i in range(a)]
-            hx = [st[DX + i] for i in range(a)]
-            hy = [st[DY + i] for i in range(a)]
-            sp = [st[SP + i] for i in range(a)]
-            obx = [st[OBX + i] for i in range(o)]
-            oby = [st[OBY + i] for i in range(o)]
-            tx, ty = st[TG], st[TG + 1]
-            step_num = st[SN]
-            latch = st[LAT]
+            px = [st[sm.PX + i] for i in range(a)]
+            py = [st[sm.PY + i] for i in range(a)]
+            hx = [st[sm.DX + i] for i in range(a)]
+            hy = [st[sm.DY + i] for i in range(a)]
+            sp = [st[sm.SP + i] for i in range(a)]
+            obx = [st[sm.OBX + i] for i in range(o)]
+            oby = [st[sm.OBY + i] for i in range(o)]
+            tx, ty = st[sm.TG], st[sm.TG + 1]
+            step_num = st[sm.SN]
+            latch = st[sm.LAT]
 
-            # ---- policy observations (post-reinit state of prev step),
-            # normalized feature list per agent ----
-            if "obs" in _ablate:
-                obs_feats = [[px[i] * 1e-3 for _ in range(obs_size)]
-                             for i in range(a)]
-            else:
-                obs_feats = []  # [agent][feature] -> (8,128)
-                for i in range(a):
-                    t_ang, t_dist = geom(px[i], py[i], hx[i], hy[i], tx, ty)
-                    feats = [t_ang * inv_pi, t_dist * d_scale - 1.0]
-                    o_feats_ang, o_feats_dist = [], []
-                    for j in range(o):
-                        oa, od = geom(px[i], py[i], hx[i], hy[i],
-                                      obx[j], oby[j])
-                        o_feats_ang.append(oa * inv_pi)
-                        o_feats_dist.append(od * d_scale - 1.0)
-                    n_feats_ang, n_feats_dist = [], []
-                    for j in range(a):
-                        if j == i:
-                            continue
-                        na, nd = geom(px[i], py[i], hx[i], hy[i], px[j], py[j])
-                        n_feats_ang.append(na * inv_pi)
-                        n_feats_dist.append(nd * d_scale - 1.0)
-                    # Concat order (env/types.py Observations).
-                    feats += (o_feats_ang + o_feats_dist
-                              + n_feats_ang + n_feats_dist)
-                    obs_feats.append(feats)
+            # Policy observations (post-reinit state of prev step).
+            feats_all = sm.obs_feats(px, py, hx, hy, obx, oby, tx, ty)
 
-            # ---- actor MLP as scalar-FMA over (8,128) tiles; no fc1
-            # activation (reference models.py:29) ----
-            sample = "mlp" not in _ablate and not deterministic_actions
-            if sample:
-                # One PRNG draw per step; each Box-Muller pair yields BOTH
-                # normals an agent needs (z0 = r cos th, z1 = r sin th).
+            # Actor forward + Gaussian sample.  One PRNG draw per step;
+            # each Box-Muller pair yields BOTH normals an agent needs.
+            if not deterministic_actions:
                 un = uniforms(t, 0, 2 * a)
             ang_raw, acc_raw = [], []
             for i in range(a):
-                feats = obs_feats[i]
-                if "mlp" in _ablate:
-                    ang_raw.append(feats[0] * 0.1)
-                    acc_raw.append(feats[1] * 0.1)
-                    continue
-                h = [
-                    sum((w1t[j, f] * feats[f] for f in range(1, obs_size)),
-                        w1t[j, 0] * feats[0]) + b1[j, 0]
-                    for j in range(h_size)
-                ]
-                mu = [
-                    jnp.tanh(
-                        sum((wmut[k, j] * h[j] for j in range(1, h_size)),
-                            wmut[k, 0] * h[0]) + bmu[k, 0])
-                    for k in range(2)
-                ]
+                mu, var = sm.actor_mlp(feats_all[i], w1t, b1, wmut, bmu,
+                                       wvart, bvar, h_size,
+                                       want_var=not deterministic_actions)
                 if deterministic_actions:
                     ang_raw.append(mu[0])
                     acc_raw.append(mu[1])
                 else:
-                    var = [
-                        jax.nn.softplus(
-                            sum((wvart[k, j] * h[j] for j in range(1, h_size)),
-                                wvart[k, 0] * h[0]) + bvar[k, 0])
-                        for k in range(2)
-                    ]
                     z0, z1 = _box_muller(un[2 * i], un[2 * i + 1])
                     ang_raw.append(mu[0] + jnp.sqrt(var[0]) * z0)
                     acc_raw.append(mu[1] + jnp.sqrt(var[1]) * z1)
 
-            # ---- action scaling + dynamics (env/dynamics.py) ----
-            npx, npy, nhx, nhy, nsp = [], [], [], [], []
-            for i in range(a):
-                ang = jnp.clip(ang_mean + ang_scale * ang_raw[i],
-                               -math.pi, math.pi)
-                acc = jnp.clip(acc_mean + acc_scale * acc_raw[i],
-                               p.min_accel, p.max_accel)
-                c, s = jnp.cos(ang), jnp.sin(ang)
-                nhx.append(c * hx[i] - s * hy[i])
-                nhy.append(s * hx[i] + c * hy[i])
-                nsp.append(jnp.clip(sp[i] + acc, p.min_speed, p.max_speed))
-                npx.append(px[i] + nhx[i] * nsp[i])
-                npy.append(py[i] + nhy[i] * nsp[i])
-
+            npx, npy, nhx, nhy, nsp = sm.dynamics(px, py, hx, hy, sp,
+                                                  ang_raw, acc_raw)
             step_num = step_num + 1.0
-            trunc = step_num > float(p.episode_len - 1)
+            trunc = step_num > float(sm.p.episode_len - 1)
 
-            # ---- rewards & terminations from the moved, pre-reinit state
-            # (env/reward.py; angle tests via dot thresholds, no acos) ----
-            if "reward" in _ablate:
-                reward = npx[0] * 1e-3
-                all_in_target = jnp.zeros(tile, jnp.float32)
-                any_coll = jnp.zeros(tile, jnp.float32)
-            else:
-                reward_sum = jnp.zeros(tile, jnp.float32)
-                all_in_target = jnp.ones(tile, jnp.float32)
-                any_coll = jnp.zeros(tile, jnp.float32)
-                for i in range(a):
-                    ddx, ddy = tx - npx[i], ty - npy[i]
-                    t_dist = jnp.sqrt(ddx * ddx + ddy * ddy)
-                    inv = 1.0 / jnp.maximum(t_dist, _NORMALIZE_EPS)
-                    t_dot = jnp.clip((nhx[i] * ddx + nhy[i] * ddy) * inv,
-                                     -1.0 + _ACOS_CLAMP, 1.0 - _ACOS_CLAMP)
-
-                    o_risk = jnp.zeros(tile, jnp.float32)
-                    o_coll = jnp.zeros(tile, jnp.float32)
-                    for j in range(o):
-                        odx, ody = obx[j] - npx[i], oby[j] - npy[i]
-                        o_dist = jnp.sqrt(odx * odx + ody * ody)
-                        o_risk = jnp.maximum(
-                            o_risk,
-                            jnp.where(o_dist < p.ob_risk_dist, 1.0, 0.0))
-                        o_coll = jnp.maximum(
-                            o_coll,
-                            jnp.where(o_dist < p.ob_coll_dist, 1.0, 0.0))
-
-                    n_risk = jnp.zeros(tile, jnp.float32)
-                    n_coll = jnp.zeros(tile, jnp.float32)
-                    band_sum = jnp.zeros(tile, jnp.float32)
-                    bond_sum = jnp.zeros(tile, jnp.float32)
-                    for j in range(a):
-                        if j == i:
-                            continue
-                        ndx_, ndy_ = npx[j] - npx[i], npy[j] - npy[i]
-                        n_dist = jnp.sqrt(ndx_ * ndx_ + ndy_ * ndy_)
-                        n_risk = jnp.maximum(
-                            n_risk,
-                            jnp.where(n_dist < p.ag_risk_dist, 1.0, 0.0))
-                        n_coll = jnp.maximum(
-                            n_coll,
-                            jnp.where(n_dist < p.ag_coll_dist, 1.0, 0.0))
-                        band_sum = band_sum + jnp.where(
-                            (p.agents_min_d < n_dist)
-                            & (n_dist < p.agents_max_d), 1.0, 0.0)
-                        scaled = (n_dist - p.ideal_dist) / p.bond_sharpness
-                        bond_sum = bond_sum + 1.0 / (1.0 + scaled * scaled)
-
-                    in_target = jnp.where(t_dist < p.target_radius, 1.0, 0.0)
-                    # dot > cos(max_angle_diff) == |acos(dot)| < max_angle_diff
-                    # exactly; the cap_distance branch replicates the env's
-                    # zeroed-angle quirk (a zeroed angle always passes the
-                    # heading test, env.py _observations + reward.py).
-                    heading = jnp.where(
-                        t_dist < p.cap_distance, 1.0,
-                        jnp.where(t_dot > cos_head, 1.0, 0.0))
-                    soft = -t_dist / p.init_dist
-                    dist_sc = (jnp.minimum(band_sum, p.max_at_prop_d)
-                               / p.max_at_prop_d)
-                    bond = bond_sum / float(a - 1)
-                    risk = jnp.minimum(o_risk + n_risk, 1.0)
-                    coll = jnp.minimum(o_coll + n_coll, 1.0)
-
-                    all_in_target = jnp.minimum(all_in_target, in_target)
-                    any_coll = jnp.maximum(any_coll, coll)
-                    # Per-agent reward WITHOUT the group target term (it
-                    # needs the min over agents; added after the loop).
-                    reward_sum = reward_sum + (
-                        p.heading_factor * heading
-                        + p.distance_factor * dist_sc
-                        + p.soft_factor * soft
-                        + p.bond_factor * bond
-                        - p.risk_factor * risk
-                    )
-
-                # Group target bonus broadcasts to every agent, so its mean
-                # contribution is just target_factor * all_in_target.
-                reward = (reward_sum / float(a)
-                          + p.target_factor * all_in_target)
+            reward, all_in_target, any_coll = sm.rewards(
+                npx, npy, nhx, nhy, obx, oby, tx, ty)
             # Rewards are written in the native (8,128) tile layout — the
             # host-side wrapper untiles them once per rollout.
             rew_out[pl.ds(t, 1), :, :] = reward.reshape(1, _SUB, _LANE)
@@ -453,50 +237,27 @@ def make_fused_rollout(
             finished = jnp.maximum(terminated, jnp.where(trunc, 1.0, 0.0))
             new_latch = jnp.where(latch > 0.5, 0.0, all_in_target)
 
-            # ---- auto-reset: fresh triangle draw, mask blend ----
-            if "reset" in _ablate:
-                for i in range(a):
-                    st[PX + i] = npx[i]
-                    st[PY + i] = npy[i]
-                    st[DX + i] = nhx[i]
-                    st[DY + i] = nhy[i]
-                    st[SP + i] = nsp[i]
-                st[SN] = step_num
-                st[LAT] = new_latch
-                return 0
-            m = finished  # (8,128) in {0,1}
-            km = 1.0 - m
             u = [uu - 0.5 for uu in uniforms(t, 2 * a, 2 * o)]
-            for j in range(o):
-                st[OBX + j] = m * (u[j] * ox_range + ox_mean) + km * obx[j]
-                st[OBY + j] = m * (u[o + j] * oy_range + oy_mean) + km * oby[j]
-            for i in range(a):
-                st[PX + i] = m * base_x[i] + km * npx[i]
-                st[PY + i] = m * base_y[i] + km * npy[i]
-                st[DX + i] = m * 1.0 + km * nhx[i]
-                st[DY + i] = km * nhy[i]
-                st[SP + i] = m * init_cfg.init_speed + km * nsp[i]
-            # Target is constant under the triangle init; leave as-is.
-            st[SN] = km * step_num
-            st[LAT] = new_latch
+            sm.reset_blend(st, finished, 1.0 - finished, npx, npy, nhx, nhy,
+                           nsp, obx, oby, step_num, new_latch, u)
             return 0
 
-# Interpret mode (CPU tests): prng_random_bits yields zeros inside a
-        # rolled fori_loop, so unroll the time loop there.  Compiled TPU
+        # Interpret mode (CPU tests): prng_random_bits yields zeros inside
+        # a rolled fori_loop, so unroll the time loop there.  Compiled TPU
         # kernels keep the rolled loop (code size).
         jax.lax.fori_loop(0, num_steps, step, 0, unroll=bool(interpret))
 
         # ---- write the block back out in the 2D row layout ----
         flat = st[:].reshape(n_rows, BLOCK_ENVS)
-        pxf[:] = flat[PX:PX + a]
-        pyf[:] = flat[PY:PY + a]
-        dxf[:] = flat[DX:DX + a]
-        dyf[:] = flat[DY:DY + a]
-        spf[:] = flat[SP:SP + a]
-        obxf[:] = flat[OBX:OBX + o]
-        obyf[:] = flat[OBY:OBY + o]
-        tgf[:] = flat[TG:TG + 2]
-        miscf[:] = flat[SN:SN + 2]
+        pxf[:] = flat[sm.PX:sm.PX + a]
+        pyf[:] = flat[sm.PY:sm.PY + a]
+        dxf[:] = flat[sm.DX:sm.DX + a]
+        dyf[:] = flat[sm.DY:sm.DY + a]
+        spf[:] = flat[sm.SP:sm.SP + a]
+        obxf[:] = flat[sm.OBX:sm.OBX + o]
+        obyf[:] = flat[sm.OBY:sm.OBY + o]
+        tgf[:] = flat[sm.TG:sm.TG + 2]
+        miscf[:] = flat[sm.SN:sm.SN + 2]
 
     def rollout(rows: RowState, actor, seed, noise=None):
         nonlocal h_size
@@ -554,9 +315,6 @@ def make_fused_rollout(
             actor.fc_var.w.T, actor.fc_var.b[:, None],
         )
         tiled, *state = out
-        # Untile (T, 8, nb*128): env p = block*1024 + sublane*128 + lane.
-        rewards = (tiled.reshape(num_steps, _SUB, grid[0], _LANE)
-                   .transpose(0, 2, 1, 3).reshape(num_steps, num_envs))
-        return RowState(*state), rewards
+        return RowState(*state), untile(tiled, num_envs)
 
     return rollout

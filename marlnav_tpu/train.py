@@ -27,7 +27,15 @@ import jax
 from marlnav_tpu.algo import make_mappo
 from marlnav_tpu.config import RunConfig, config_to_json
 from marlnav_tpu.env import make_env
+import jax.numpy as jnp
+
 from marlnav_tpu.utils.seeding import make_rng
+
+
+def jnp_arange_repeats(n):
+    """Repeat indices for a fused train_many block — offset by the block
+    start outside (the scan consumes absolute repeat numbers)."""
+    return jnp.arange(n, dtype=jnp.int32)
 from marlnav_tpu.utils.stats import StatsLogger
 
 
@@ -41,6 +49,7 @@ def train(
     output_root: Optional[str] = None,
     verbose: bool = True,
     jit_repeats: int = 1,
+    fused_collect: bool = False,
 ):
     """Run full MAPPO training per ``cfg``; returns the final TrainState.
 
@@ -67,9 +76,46 @@ def train(
         env_state = shard_env_state(env_state, mesh)
         ts = shard_train_state(ts, mesh, tensor_parallel=tensor_parallel)
 
-    collect = jax.jit(mappo.collect)
     train_actor = jax.jit(mappo.train_actor)
     train_critic = jax.jit(mappo.train_critic)
+
+    if fused_collect:
+        from marlnav_tpu.ops import env_state_to_rows, make_fused_collect
+
+        if mesh is not None:
+            raise NotImplementedError(
+                "fused_collect with a mesh is not supported yet")
+        # Off-TPU the kernel runs under the Pallas interpreter (CI/smoke
+        # only: its in-kernel PRNG is degenerate there — see ops notes).
+        fc = make_fused_collect(
+            cfg.model, cfg.env, cfg.init, cfg.normalizer, cfg.scaler,
+            interpret=jax.devices()[0].platform != "tpu")
+        env_state = env_state_to_rows(env_state)
+        base_seed = (cfg.seed if cfg.seed is not None else 0) * 1_000_003
+
+        def do_collect(ts, env_state, repeat):
+            return fc(ts, env_state, base_seed + repeat)
+
+        def do_train_many(ts, env_state, start_repeat_, n):
+            # Streams derive from absolute repeat numbers (integer seeds),
+            # so a block continues exactly where the host loop would.
+            def body(carry, r):
+                ts, env_state = carry
+                env_state, buffer, metrics = fc(ts, env_state, base_seed + r)
+                ts, al = mappo.train_actor(ts, buffer)
+                ts, cl = mappo.train_critic(ts, buffer)
+                return (ts, env_state), (metrics, al, cl)
+
+            repeats = start_repeat_ + jnp_arange_repeats(n)
+            (ts, env_state), (mets, al, cl) = jax.lax.scan(
+                body, (ts, env_state), repeats)
+            return ts, env_state, mets, al, cl
+    else:
+        def do_collect(ts, env_state, repeat):
+            return mappo.collect(ts, env_state,
+                                 jax.random.fold_in(loop_rng, repeat))
+
+        do_train_many = None  # mappo.train_many used directly below
 
     logger = StatsLogger(root=output_root)
     start_repeat = 0
@@ -91,7 +137,11 @@ def train(
         raise ValueError(f"jit_repeats must be >= 1, got {jit_repeats}")
     m = cfg.model
     steps_per_rollout = m.buffer_len * m.num_parallel
-    train_many = jax.jit(mappo.train_many, static_argnums=3)
+    collect = jax.jit(do_collect)
+    if fused_collect:
+        train_many = jax.jit(do_train_many, static_argnums=3)
+    else:
+        train_many = jax.jit(mappo.train_many, static_argnums=3)
 
     repeat = start_repeat
     while repeat < m.num_repeats:
@@ -102,8 +152,7 @@ def train(
         block = jit_repeats if remaining >= jit_repeats else 1
         t0 = time.perf_counter()
         if block == 1:
-            rollout_rng = jax.random.fold_in(loop_rng, repeat)
-            env_state, buffer, metrics = collect(ts, env_state, rollout_rng)
+            env_state, buffer, metrics = collect(ts, env_state, repeat)
             ts, actor_losses = train_actor(ts, buffer)
             ts, critic_losses = train_critic(ts, buffer)
             per_repeat = [jax.device_get(
@@ -112,9 +161,10 @@ def train(
             # fold_in(fold_in(rng, block_start), i) gives each repeat a
             # distinct stream; exact host-loop equality isn't required,
             # only per-repeat independence.
-            block_rng = jax.random.fold_in(loop_rng, repeat)
+            block_arg = (repeat if fused_collect
+                         else jax.random.fold_in(loop_rng, repeat))
             ts, env_state, metrics, actor_losses, critic_losses = train_many(
-                ts, env_state, block_rng, block)
+                ts, env_state, block_arg, block)
             # ONE host transfer for the whole block, then numpy slicing —
             # per-repeat device fetches would reintroduce the round trips
             # this path exists to remove.

@@ -1,0 +1,194 @@
+"""Fused collect kernel: training-buffer parity vs an XLA mirror fed the
+SAME noise, stats counting, and update-loop integration.
+
+Runs in TPU-interpret mode on CPU with host-injected uniforms (see
+tests/test_ops.py preamble for why).  The XLA mirror reconstructs the
+kernel's sampling exactly — z = BoxMuller(u1, u2), a = mu + sqrt(var)*z —
+so within a window where no env finishes (no reset randomness is
+consumed), every buffer field must match to fp tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from marlnav_tpu.algo import make_mappo
+from marlnav_tpu.config import (
+    EnvParams,
+    MAPPOConfig,
+    NormalizerConfig,
+    ScalerConfig,
+    TriangleInitConfig,
+)
+from marlnav_tpu.env import make_env
+from marlnav_tpu.models import DiagGaussian, actor_apply, critic_apply
+from marlnav_tpu.ops import env_state_to_rows, make_fused_collect
+from marlnav_tpu.ops.step_math import box_muller
+from marlnav_tpu.utils.transforms import make_action_scaler, make_obs_normalizer
+
+P, A, O = 1024, 3, 3
+N_DRAWS = 2 * A + 2 * O
+
+
+def build(buffer_len, episode_len=200):
+    cfg = MAPPOConfig(num_parallel=P, buffer_len=buffer_len,
+                      batch_size=buffer_len, num_epochs=2,
+                      num_total=buffer_len * P)
+    ep = EnvParams(num_parallel=P, num_agents=A, episode_len=episode_len)
+    icfg = TriangleInitConfig(num_parallel=P, num_obstacles=O)
+    env = make_env(ep, icfg, None)
+    mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
+    collect = make_fused_collect(cfg, ep, icfg, NormalizerConfig(),
+                                 ScalerConfig(), interpret=True,
+                                 noise_input=True)
+    return cfg, ep, icfg, env, mappo, collect
+
+
+def host_noise(key, num_steps):
+    return jax.random.uniform(key, (num_steps, N_DRAWS, 8, P // 8),
+                              jnp.float32)
+
+
+def noise_per_env(noise):
+    """(T, k, 8, nb*128) tile layout -> (T, k, P), same env mapping as
+    fused_rollout.untile."""
+    t, k = noise.shape[0], noise.shape[1]
+    nb = noise.shape[3] // 128
+    return np.asarray(noise).reshape(t, k, 8, nb, 128).transpose(
+        0, 1, 3, 2, 4).reshape(t, k, nb * 8 * 128)
+
+
+def xla_mirror(env, ts, s0, noise_pe, num_steps):
+    """Scan replicating the kernel's collect record with injected noise."""
+    normalize = make_obs_normalizer(NormalizerConfig(num_agents=A))
+    scale_up = make_action_scaler(ScalerConfig())
+
+    def body(carry, inp):
+        s, obs = carry
+        u = inp  # (n_draws, P)
+        mean, var = actor_apply(ts.actor, obs)  # (P*A, 2)
+        mean = mean.reshape(P, A, 2)
+        var = var.reshape(P, A, 2)
+        z = []
+        for i in range(A):
+            z0, z1 = box_muller(u[2 * i], u[2 * i + 1])
+            z.append(jnp.stack([z0, z1], axis=-1))  # (P, 2)
+        z = jnp.stack(z, axis=1)  # (P, A, 2)
+        raw = mean + jnp.sqrt(var) * z
+        dist = DiagGaussian(mean.reshape(P * A, 2), var.reshape(P * A, 2))
+        lp = dist.log_prob(raw.reshape(P * A, 2))
+        values = critic_apply(ts.critic, obs)
+        s, out = env.step(s, scale_up(raw))
+        done = out.terminated | out.truncated
+        rec = (obs, raw, lp, values, out.rewards, done, out.truncated)
+        return (s, normalize(out.obs)), rec
+
+    obs0 = normalize(env.observations(s0))
+    (_, _), recs = jax.lax.scan(body, (s0, obs0), noise_pe)
+    return recs
+
+
+def test_buffer_parity_vs_xla_mirror():
+    """No env finishes in 8 steps from the triangle start, so reset
+    randomness is never consumed and every buffer field must match."""
+    t = 8
+    cfg, ep, icfg, env, mappo, collect = build(t)
+    ts, s0 = mappo.init(jax.random.PRNGKey(0))
+    noise = host_noise(jax.random.PRNGKey(5), t)
+
+    rows2, buf, metrics = collect(ts, env_state_to_rows(s0), 7, noise=noise)
+    obs, raw, lp, values, rewards, done, trunc = jax.jit(
+        lambda s: xla_mirror(env, ts, s, jnp.asarray(noise_per_env(noise)),
+                             t))(s0)
+
+    assert not bool(np.asarray(done).any())  # premise: nothing finished
+    # Angle features are ill-conditioned where the view angle ~ 0 (dot ~ 1:
+    # sqrt(1 - dot) amplifies the dot's own f32 rounding), so the kernel's
+    # Hastings acos and XLA's arccos legitimately differ by up to ~2e-4 in
+    # normalized units there (~0.03 deg).
+    np.testing.assert_allclose(np.asarray(buf.obs), np.asarray(obs),
+                               rtol=1e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(buf.actions), np.asarray(raw),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(buf.log_probs), np.asarray(lp),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(buf.values), np.asarray(values),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(buf.done), np.asarray(done))
+
+    # Returns processing matches mappo.collect's math applied to the
+    # mirror's rewards.
+    from marlnav_tpu.algo.mappo import _sample_std, discounted_returns
+
+    rets = discounted_returns(rewards, done, cfg.gamma)
+    rets = (rets - jnp.mean(rets)) / (_sample_std(rets) + 1e-12)
+    np.testing.assert_allclose(np.asarray(buf.returns), np.asarray(rets),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        float(metrics.mean_rew),
+        float(jnp.mean(discounted_returns(rewards, done, cfg.gamma))),
+        rtol=1e-4)
+    assert int(metrics.stats.num_trunc) == 0
+    assert int(metrics.stats.num_col) == 0
+
+
+def test_truncation_stats_counting():
+    """episode_len=4, T=8: every env truncates exactly twice; no agent can
+    reach an obstacle or the target that fast from the triangle start."""
+    t = 8
+    cfg, ep, icfg, env, mappo, collect = build(t, episode_len=4)
+    ts, s0 = mappo.init(jax.random.PRNGKey(0))
+    noise = host_noise(jax.random.PRNGKey(5), t)
+    rows2, buf, metrics = collect(ts, env_state_to_rows(s0), 7, noise=noise)
+    assert int(metrics.stats.num_trunc) == 2 * P
+    assert int(metrics.stats.num_col) == 0
+    assert int(metrics.stats.num_tar) == 0
+    done = np.asarray(buf.done)
+    assert done[3].all() and done[7].all()
+    assert not done[[0, 1, 2, 4, 5, 6]].any()
+
+
+def test_collect_feeds_update_loop():
+    """The fused buffer drives train_actor/train_critic end to end and
+    changes the parameters."""
+    t = 10
+    cfg, ep, icfg, env, mappo, collect = build(t)
+    ts, s0 = mappo.init(jax.random.PRNGKey(0))
+    noise = host_noise(jax.random.PRNGKey(6), t)
+    _, buf, _ = collect(ts, env_state_to_rows(s0), 7, noise=noise)
+    ts2, al = jax.jit(mappo.train_actor)(ts, buf)
+    ts2, cl = jax.jit(mappo.train_critic)(ts2, buf)
+    assert np.isfinite(np.asarray(al)).all()
+    assert np.isfinite(np.asarray(cl)).all()
+    assert not np.allclose(np.asarray(ts.actor.fc1.w),
+                           np.asarray(ts2.actor.fc1.w))
+
+
+def test_time_chunking_divisors():
+    from marlnav_tpu.ops.fused_collect import _time_chunk
+
+    assert _time_chunk(1000) == 10  # largest divisor <= 16 is 10
+    assert _time_chunk(512) == 16
+    assert _time_chunk(8) == 8
+    assert _time_chunk(17) == 1  # prime falls back to per-step chunks
+
+
+def test_train_driver_fused_collect(tmp_path, monkeypatch):
+    """train(..., fused_collect=True) runs end to end (interpret mode on
+    CPU — degenerate in-kernel noise, but the full pipeline executes) and
+    produces the usual artifacts."""
+    monkeypatch.chdir(tmp_path)
+    from marlnav_tpu.__main__ import build_parser
+    from marlnav_tpu.config import resolve_run_config
+    from marlnav_tpu.train import train
+
+    args = build_parser().parse_args(
+        ["-np", "1024", "-nt", "40960", "-bl", "20", "-bs", "10",
+         "-ne", "1", "-se", "3"])  # 2 repeats at the kernel's 1024-env min
+    cfg = resolve_run_config(args)
+    ts, env_state, logger = train(cfg, verbose=False, fused_collect=True)
+    assert len(logger.logs["mean_rews"]) == 2
+    assert np.isfinite(logger.logs["mean_rews"]).all()
+    assert (tmp_path / "logs").exists() and (tmp_path / "weights").exists()
