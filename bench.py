@@ -73,14 +73,14 @@ def _time_rollouts(name, fn, state, seed0: int, num_envs: int,
                    num_steps: int) -> float:
     t0 = time.perf_counter()
     state, mean_rew = fn(state, seed0)
-    jax.block_until_ready((state, mean_rew))
+    float(mean_rew)  # scalar fetch: the reliable barrier on the remote-TPU
     print(f"{name}: compile+first run {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(TIMED_CALLS):
         state, mean_rew = fn(state, seed0 + 1 + i)
-    jax.block_until_ready((state, mean_rew))
+    float(mean_rew)  # (block_until_ready can return early on axon)
     dt = time.perf_counter() - t0
 
     steps_per_s = num_envs * num_steps * TIMED_CALLS / dt
