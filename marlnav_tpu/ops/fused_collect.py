@@ -195,19 +195,22 @@ def make_fused_collect(
 
         jax.lax.fori_loop(0, t_chunk, step, 0, unroll=bool(interpret))
 
-        # State + stats outputs' block index ignores the chunk dimension,
-        # so they are flushed once per env block (after the last chunk).
-        flat = st[:].reshape(n_rows, BLOCK_ENVS)
-        pxf[:] = flat[sm.PX:sm.PX + a]
-        pyf[:] = flat[sm.PY:sm.PY + a]
-        dxf[:] = flat[sm.DX:sm.DX + a]
-        dyf[:] = flat[sm.DY:sm.DY + a]
-        spf[:] = flat[sm.SP:sm.SP + a]
-        obxf[:] = flat[sm.OBX:sm.OBX + o]
-        obyf[:] = flat[sm.OBY:sm.OBY + o]
-        tgf[:] = flat[sm.TG:sm.TG + 2]
-        miscf[:] = flat[sm.SN:sm.SN + 2]
-        stats_out[:] = stats[:]
+        # State + stats outputs' block index ignores the chunk dimension;
+        # flush only after a block's LAST chunk (mirroring the chunk-0
+        # init) instead of redundantly every chunk.
+        @pl.when(chunk_id == n_chunks - 1)
+        def _():
+            flat = st[:].reshape(n_rows, BLOCK_ENVS)
+            pxf[:] = flat[sm.PX:sm.PX + a]
+            pyf[:] = flat[sm.PY:sm.PY + a]
+            dxf[:] = flat[sm.DX:sm.DX + a]
+            dyf[:] = flat[sm.DY:sm.DY + a]
+            spf[:] = flat[sm.SP:sm.SP + a]
+            obxf[:] = flat[sm.OBX:sm.OBX + o]
+            obyf[:] = flat[sm.OBY:sm.OBY + o]
+            tgf[:] = flat[sm.TG:sm.TG + 2]
+            miscf[:] = flat[sm.SN:sm.SN + 2]
+            stats_out[:] = stats[:]
 
     def run_kernel(rows: RowState, actor, critic, seed, noise):
         num_envs = rows.px.shape[-1]

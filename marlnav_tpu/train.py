@@ -30,12 +30,6 @@ from marlnav_tpu.env import make_env
 import jax.numpy as jnp
 
 from marlnav_tpu.utils.seeding import make_rng
-
-
-def jnp_arange_repeats(n):
-    """Repeat indices for a fused train_many block — offset by the block
-    start outside (the scan consumes absolute repeat numbers)."""
-    return jnp.arange(n, dtype=jnp.int32)
 from marlnav_tpu.utils.stats import StatsLogger
 
 
@@ -87,11 +81,22 @@ def train(
                 "fused_collect with a mesh is not supported yet")
         # Off-TPU the kernel runs under the Pallas interpreter (CI/smoke
         # only: its in-kernel PRNG is degenerate there — see ops notes).
+        interpret = jax.devices()[0].platform != "tpu"
+        if interpret:
+            import warnings
+
+            warnings.warn(
+                "--fused-collect off-TPU runs under the Pallas interpreter, "
+                "whose in-kernel PRNG is DEGENERATE (constant noise): use "
+                "this only for smoke tests, never for real training.",
+                stacklevel=2)
         fc = make_fused_collect(
             cfg.model, cfg.env, cfg.init, cfg.normalizer, cfg.scaler,
-            interpret=jax.devices()[0].platform != "tpu")
+            interpret=interpret)
         env_state = env_state_to_rows(env_state)
-        base_seed = (cfg.seed if cfg.seed is not None else 0) * 1_000_003
+        # Spread seeds while staying in int32 (the kernel seed dtype).
+        base_seed = ((cfg.seed if cfg.seed is not None else 0)
+                     * 1_000_003) % 2_147_000_000
 
         def do_collect(ts, env_state, repeat):
             return fc(ts, env_state, base_seed + repeat)
@@ -106,7 +111,7 @@ def train(
                 ts, cl = mappo.train_critic(ts, buffer)
                 return (ts, env_state), (metrics, al, cl)
 
-            repeats = start_repeat_ + jnp_arange_repeats(n)
+            repeats = start_repeat_ + jnp.arange(n, dtype=jnp.int32)
             (ts, env_state), (mets, al, cl) = jax.lax.scan(
                 body, (ts, env_state), repeats)
             return ts, env_state, mets, al, cl
@@ -126,7 +131,14 @@ def train(
 
         ckpt = Checkpointer(checkpoint_dir, save_interval=checkpoint_interval)
         if resume and ckpt.latest_step() is not None:
-            step, (ts, env_state), host = ckpt.restore((ts, env_state))
+            try:
+                step, (ts, env_state), host = ckpt.restore((ts, env_state))
+            except Exception as e:
+                raise ValueError(
+                    "checkpoint restore failed — checkpoints written with "
+                    "and without --fused-collect store different env-state "
+                    "layouts (RowState vs EnvState) and are not "
+                    "interchangeable; resume with the same flag") from e
             start_repeat = step + 1
             if host:
                 logger.load_state_dict(host)

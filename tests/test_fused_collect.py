@@ -192,3 +192,54 @@ def test_train_driver_fused_collect(tmp_path, monkeypatch):
     assert len(logger.logs["mean_rews"]) == 2
     assert np.isfinite(logger.logs["mean_rews"]).all()
     assert (tmp_path / "logs").exists() and (tmp_path / "weights").exists()
+
+
+def test_gae_returns_parity():
+    """use_gae: fused returns must equal GAE(adv) + values computed from
+    the XLA mirror's record (incl. the final-state bootstrap value)."""
+    from marlnav_tpu.algo.mappo import gae_advantages
+
+    t = 8
+    cfg = MAPPOConfig(num_parallel=P, buffer_len=t, batch_size=t,
+                      num_epochs=2, num_total=t * P, use_gae=True)
+    ep = EnvParams(num_parallel=P, num_agents=A, episode_len=200)
+    icfg = TriangleInitConfig(num_parallel=P, num_obstacles=O)
+    env = make_env(ep, icfg, None)
+    mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
+    collect = make_fused_collect(cfg, ep, icfg, NormalizerConfig(),
+                                 ScalerConfig(), interpret=True,
+                                 noise_input=True)
+    ts, s0 = mappo.init(jax.random.PRNGKey(0))
+    noise = host_noise(jax.random.PRNGKey(5), t)
+    _, buf, _ = collect(ts, env_state_to_rows(s0), 7, noise=noise)
+
+    # Mirror record + final-state bootstrap.
+    normalize = make_obs_normalizer(NormalizerConfig(num_agents=A))
+    scale_up = make_action_scaler(ScalerConfig())
+
+    def mirror_with_final(s):
+        def body(carry, inp):
+            s, obs = carry
+            u = inp
+            mean, var = actor_apply(ts.actor, obs)
+            mean, var = mean.reshape(P, A, 2), var.reshape(P, A, 2)
+            z = jnp.stack([jnp.stack(box_muller(u[2 * i], u[2 * i + 1]),
+                                     axis=-1) for i in range(A)], axis=1)
+            raw = mean + jnp.sqrt(var) * z
+            values = critic_apply(ts.critic, obs)
+            s, out = env.step(s, scale_up(raw))
+            done = out.terminated | out.truncated
+            return (s, normalize(out.obs)), (values, out.rewards, done)
+
+        obs0 = normalize(env.observations(s))
+        (s, last_obs), recs = jax.lax.scan(
+            body, (s, obs0), jnp.asarray(noise_per_env(noise)))
+        last_value = critic_apply(ts.critic, last_obs)[:, 0]
+        return recs, last_value
+
+    (values, rewards, done), last_value = jax.jit(mirror_with_final)(s0)
+    adv = gae_advantages(rewards, done, values[..., 0], last_value,
+                         cfg.gamma, cfg.gae_lambda)
+    expect = adv + values[..., 0]
+    np.testing.assert_allclose(np.asarray(buf.returns), np.asarray(expect),
+                               rtol=1e-3, atol=2e-3)
