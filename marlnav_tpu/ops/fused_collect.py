@@ -80,11 +80,19 @@ def make_fused_collect(
     scaler_cfg,
     interpret: bool = False,
     noise_input: bool = False,
+    mesh=None,
+    axis: str = "data",
 ):
     """Build ``collect(ts, rows, seed[, noise]) -> (rows', Buffer,
     RolloutMetrics)`` — a drop-in for ``MAPPO.collect`` operating on the
     RowState layout.  ``seed`` is a scalar int32; per-(block, chunk)
-    PRNG streams derive from it."""
+    PRNG streams derive from it.
+
+    With ``mesh`` the kernel runs one instance per device via shard_map
+    with the env batch sharded over ``axis`` (distinct per-shard PRNG
+    streams); the untiling and returns processing stay ordinary sharded
+    XLA, so the buffer-wide normalization reductions become the only
+    collectives — inserted automatically."""
     sm = StepMath(env_params, init_cfg, normalizer_cfg, scaler_cfg)
     a, o, n_rows, n_draws = sm.a, sm.o, sm.n_rows, sm.n_draws
     num_steps = cfg.buffer_len
@@ -294,11 +302,46 @@ def make_fused_collect(
         (rew, obs_t, act_t, lp_t, vd_t, stats_t, *state) = out
         return RowState(*state), rew, obs_t, act_t, lp_t, vd_t, stats_t
 
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        n_shards = mesh.shape[axis]
+        row_p = RowState(*([P(None, axis)] * 9))
+
+        def per_shard(rows, actor, critic, seed, noise):
+            shard_seed = seed + jax.lax.axis_index(axis) * (1 << 20)
+            return run_kernel(rows, actor, critic, shard_seed,
+                              noise if noise_input else None)
+
+        sharded_run = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(row_p, P(), P(), P(), P(None, None, None, axis)),
+            out_specs=(row_p, P(None, None, axis),
+                       P(None, None, None, axis), P(None, None, None, axis),
+                       P(None, None, None, axis), P(None, None, None, axis),
+                       P(None, None, axis)),
+            check_vma=False,  # pallas out_shapes carry no vma metadata
+        )
+
+    def dispatch_kernel(rows, actor, critic, seed, noise):
+        if mesh is None:
+            return run_kernel(rows, actor, critic, seed, noise)
+        num_envs = rows.px.shape[-1]
+        if num_envs % (n_shards * BLOCK_ENVS) != 0:
+            raise ValueError(
+                f"num_envs {num_envs} not divisible by {n_shards} shards "
+                f"x {BLOCK_ENVS}-env blocks")
+        if noise is None:
+            noise = jnp.zeros((1, 1, 1, n_shards), jnp.float32)
+        return sharded_run(rows, actor, critic,
+                           jnp.asarray(seed, jnp.int32), noise)
+
     def collect(ts, rows: RowState, seed, noise=None):
         """Fused-kernel drop-in for ``MAPPO.collect`` (algo/mappo.py):
         same Buffer layout and returns processing, RowState env state."""
         num_envs = rows.px.shape[-1]
-        rows2, rew, obs_t, act_t, lp_t, vd_t, stats_t = run_kernel(
+        rows2, rew, obs_t, act_t, lp_t, vd_t, stats_t = dispatch_kernel(
             rows, ts.actor, ts.critic, seed, noise)
 
         rewards = untile(rew, num_envs)  # (T, P)

@@ -76,9 +76,8 @@ def train(
     if fused_collect:
         from marlnav_tpu.ops import env_state_to_rows, make_fused_collect
 
-        if mesh is not None:
-            raise NotImplementedError(
-                "fused_collect with a mesh is not supported yet")
+        # With a mesh the kernel shard_maps over its 'data' axis; the env
+        # rows must be placed with that sharding.
         # Off-TPU the kernel runs under the Pallas interpreter (CI/smoke
         # only: its in-kernel PRNG is degenerate there — see ops notes).
         interpret = jax.devices()[0].platform != "tpu"
@@ -92,8 +91,15 @@ def train(
                 stacklevel=2)
         fc = make_fused_collect(
             cfg.model, cfg.env, cfg.init, cfg.normalizer, cfg.scaler,
-            interpret=interpret)
+            interpret=interpret, mesh=mesh)
         env_state = env_state_to_rows(env_state)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            env_state = jax.device_put(
+                env_state, jax.tree.map(
+                    lambda _: NamedSharding(mesh, P(None, "data")),
+                    env_state))
         # Spread seeds while staying in int32 (the kernel seed dtype).
         base_seed = ((cfg.seed if cfg.seed is not None else 0)
                      * 1_000_003) % 2_147_000_000

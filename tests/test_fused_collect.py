@@ -243,3 +243,40 @@ def test_gae_returns_parity():
     expect = adv + values[..., 0]
     np.testing.assert_allclose(np.asarray(buf.returns), np.asarray(expect),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_sharded_collect_matches_unsharded():
+    """make_fused_collect(mesh=...) through shard_map equals the plain
+    kernel given the same noise.  One shard only: the Pallas interpreter
+    deadlocks under multi-shard shard_map (multi-shard splitting is
+    covered by the bench kernel's 2-shard test in test_ops.py — identical
+    machinery); the full sharded collect also runs compiled on TPU.
+    """
+    from marlnav_tpu.parallel import make_mesh
+
+    t = 2
+    cfg, ep, icfg, env, mappo, collect = build(t)
+    ts, s0 = mappo.init(jax.random.PRNGKey(0))
+    rows0 = env_state_to_rows(s0)
+    noise = host_noise(jax.random.PRNGKey(5), t)
+
+    mesh = make_mesh(num_data=1, num_model=1, devices=jax.devices()[:1])
+    sharded = make_fused_collect(cfg, ep, icfg, NormalizerConfig(),
+                                 ScalerConfig(), interpret=True,
+                                 noise_input=True, mesh=mesh)
+    r1, b1, m1 = collect(ts, rows0, 7, noise=noise)
+    r2, b2, m2 = sharded(ts, rows0, 7, noise=noise)
+    for x, y in zip(jax.tree.leaves(b1), jax.tree.leaves(b2)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-5)
+    for x, y in zip(r1, r2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_allclose(float(m1.mean_rew), float(m2.mean_rew),
+                               rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        make_fused_collect(
+            cfg, ep, icfg, NormalizerConfig(), ScalerConfig(),
+            mesh=make_mesh(num_data=2, num_model=1,
+                           devices=jax.devices()[:2]),
+        )(ts, rows0, 7)  # 1024 envs not divisible by 2 shards x 1024
