@@ -108,6 +108,19 @@ def build_parser() -> argparse.ArgumentParser:
                         help="use the fused Pallas rollout kernel for "
                              "training data collection (TPU, triangle "
                              "scenarios, single chip; ~20x faster rollouts)")
+    parser.add_argument("--returns-f64", action="store_true",
+                        help="accumulate/normalize discounted returns in "
+                             "float64 (the reference's accumulator dtype; "
+                             "needs JAX x64 — curve-parity studies)")
+    parser.add_argument("--bf16-updates", action="store_true",
+                        help="bf16 matmul operands (f32 accumulate) in the "
+                             "PPO update losses — ~2x MXU throughput and "
+                             "half the update-phase HBM traffic; params/"
+                             "optimizer/rollout stay f32")
+    parser.add_argument("--allow-interpret", action="store_true",
+                        help="allow --fused-collect off-TPU (Pallas "
+                             "interpreter; DEGENERATE in-kernel PRNG — "
+                             "smoke tests only, never real training)")
     parser.add_argument("--staggered-resets", action="store_true",
                         help="initialize per-env episode phases uniformly so "
                              "truncations decorrelate across the batch "
@@ -144,6 +157,7 @@ def main(cfg: RunConfig, mode: str, args=None) -> None:
             output_root=getattr(args, "output_root", None),
             jit_repeats=getattr(args, "jit_repeats", 1),
             fused_collect=getattr(args, "fused_collect", False),
+            allow_interpret=getattr(args, "allow_interpret", False),
         )
 
     elif mode == "rendering":

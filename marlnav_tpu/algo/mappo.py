@@ -107,6 +107,30 @@ def discounted_returns(rewards: jax.Array, done: jax.Array, gamma: float):
     return rets
 
 
+def reference_returns(rewards: jax.Array, done: jax.Array, cfg: MAPPOConfig):
+    """Zero-at-done discounted returns + whole-buffer z-normalization
+    (reference models.py:131-148).  Returns ``(normalized (T, P) f32,
+    mean of unnormalized returns)``.
+
+    With ``cfg.returns_f64`` the accumulation, mean and std all run in
+    float64 — exactly the reference's ``dtype=float`` accumulator
+    (reference models.py:133), whose f32↔f64 deviation compounds over
+    buffer_len steps at reward magnitudes ~1e3.  Requires
+    ``jax_enable_x64`` (used by the curve-parity harness,
+    scripts/compare_reference.py); the result is cast back to f32 for the
+    buffer."""
+    if cfg.returns_f64:
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "returns_f64 needs jax.config.update('jax_enable_x64', True) "
+                "before use (float64 is silently downgraded otherwise)")
+        rewards = rewards.astype(jnp.float64)
+    rets = discounted_returns(rewards, done, cfg.gamma)
+    mean_rew = jnp.mean(rets)
+    normed = (rets - mean_rew) / (_sample_std(rets) + 1e-12)
+    return normed.astype(jnp.float32), mean_rew
+
+
 def gae_advantages(rewards, done, values, last_value, gamma, lam):
     """Bootstrapped GAE(lambda) — the corrected estimator behind
     ``use_gae`` (not present in the reference).  Shapes: rewards/done
@@ -157,7 +181,8 @@ def actor_loss(actor: ActorParams, mb: Buffer, cfg: MAPPOConfig) -> jax.Array:
     """Negated PPO-clip + entropy objective (the reference *maximizes* it
     with Adam maximize=True, reference models.py:71-72, 270-299)."""
     obs, actions, old_log_probs, values, returns = _flatten_minibatch(mb, cfg)
-    mean, var = actor_apply(actor, obs)
+    dtype = jnp.bfloat16 if cfg.bf16_updates else None
+    mean, var = actor_apply(actor, obs, compute_dtype=dtype)
     dist = DiagGaussian(mean, var)
     new_log_probs = dist.log_prob(actions)
     entropies = dist.entropy()
@@ -176,7 +201,8 @@ def actor_loss(actor: ActorParams, mb: Buffer, cfg: MAPPOConfig) -> jax.Array:
 def critic_loss(critic: CriticParams, mb: Buffer, cfg: MAPPOConfig) -> jax.Array:
     """Clipped-value loss (reference models.py:301-316)."""
     obs, _, _, values, returns = _flatten_minibatch(mb, cfg)
-    new_values = critic_apply(critic, obs)[:, 0]
+    dtype = jnp.bfloat16 if cfg.bf16_updates else None
+    new_values = critic_apply(critic, obs, compute_dtype=dtype)[:, 0]
     diff = (new_values - returns) ** 2
     clamped = jnp.clip(new_values, values - cfg.epsilon, values + cfg.epsilon)
     clamped_diff = (clamped - returns) ** 2
@@ -258,19 +284,18 @@ def make_mappo(
 
         # Returns processing (reference models.py:131-148): zero-at-done
         # discounted returns, then whole-buffer z-normalization.
-        rets = discounted_returns(rewards, done, cfg.gamma)
-        mean_rew = jnp.mean(rets)
         if cfg.use_gae:
             # Corrected estimator: bootstrapped GAE advantages stored as
             # "returns" = advantage + value (so advantage reconstruction in
             # the losses still reads returns - values).
+            mean_rew = jnp.mean(discounted_returns(rewards, done, cfg.gamma))
             last_value = critic_apply(ts.critic, last_obs)[:, 0]
             adv = gae_advantages(
                 rewards, done, values[..., 0], last_value, cfg.gamma, cfg.gae_lambda
             )
             rets = adv + values[..., 0]
         else:
-            rets = (rets - mean_rew) / (_sample_std(rets) + 1e-12)
+            rets, mean_rew = reference_returns(rewards, done, cfg)
 
         buffer = Buffer(obs, actions, log_probs, values, rets, done)
         return env_state, buffer, RolloutMetrics(mean_rew, env_state.stats)

@@ -189,9 +189,15 @@ class MockSamplerConfig:
     ``num=0``: constant per-agent actions including one huge decel (-100).
     ``num=1``: special half-turn first step, then constant turn rates that
     produce circular trajectories.
+
+    ``max_step`` replicates the reference's generator exhaustion: its
+    samplers yield exactly ``max_step`` action tensors and raise
+    StopIteration beyond that (reference utils.py:428-448).  ``None``
+    disables the bound (a total step function).
     """
 
     num: int = 0
+    max_step: Optional[int] = None
 
 
 # ---------------------------------------------------------------------------
@@ -277,6 +283,15 @@ class MAPPOConfig:
     faithful: bool = True
     use_gae: bool = False
     gae_lambda: float = 0.95
+    # float64 return accumulation/normalization — the reference's exact
+    # accumulator dtype (reference models.py:133); needs jax_enable_x64.
+    # Used by the curve-parity harness to remove the known fp deviation.
+    returns_f64: bool = False
+    # bf16 matmul operands + f32 accumulation in the PPO update losses
+    # (the MXU's 2x-throughput mode, also halving update-phase HBM
+    # traffic).  Parameters, optimizer state, log-probs, and the whole
+    # rollout stay f32; only the loss-side network matmuls change.
+    bf16_updates: bool = False
 
     def __post_init__(self):
         # Same validation as the reference (utils.py:157-162).
@@ -367,7 +382,7 @@ def resolve_run_config(args) -> RunConfig:
         init = mock_init_scenario(sn)
         num_parallel = len(init.states)
         num_obstacles = len(init.obstacles[0])
-        sampler = MockSamplerConfig(num=sn)
+        sampler = MockSamplerConfig(num=sn, max_step=args.max_step)
     else:
         raise ValueError(f"sampler_num must be -1, 0 or 1, got {sn}")
 
@@ -406,6 +421,8 @@ def resolve_run_config(args) -> RunConfig:
             batch_size=args.batch_size,
             faithful=not getattr(args, "fixed_semantics", False),
             use_gae=getattr(args, "use_gae", False),
+            returns_f64=getattr(args, "returns_f64", False),
+            bf16_updates=getattr(args, "bf16_updates", False),
         )
 
     normalizer = NormalizerConfig(

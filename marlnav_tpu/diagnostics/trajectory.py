@@ -57,6 +57,16 @@ def rollout_trajectory(
     """
     if actor is None and env.sample_actions is None:
         raise ValueError("env has no scripted sampler and no actor was given")
+    if actor is None:
+        # Reference parity: its scripted samplers are generators that yield
+        # exactly max_step tensors and raise StopIteration beyond that
+        # (reference utils.py:428-448).  The scan below can't raise
+        # mid-trace, so the overrun is rejected up front.
+        bound = getattr(env.sample_actions, "max_step", None)
+        if bound is not None and num_steps > bound:
+            raise StopIteration(
+                f"scripted sampler provides {bound} steps, "
+                f"{num_steps} requested")
 
     if actor is not None:
         from marlnav_tpu.models import DiagGaussian, actor_apply

@@ -47,6 +47,25 @@ def make_mock_sampler(cfg: MockSamplerConfig) -> SamplerFn:
     half-actions (turn-in maneuvers), every later step applies constant turn
     rates — producing circular orbits (e.g. radius-300 orbits at 1.8°/step).
     """
+    def bounded(sample: SamplerFn) -> SamplerFn:
+        """Replicate the reference's generator exhaustion: its samplers
+        yield exactly ``max_step`` tensors, then ``next()`` raises
+        StopIteration (reference utils.py:428-448).  A traced ``step``
+        (inside ``lax.scan``) cannot raise, so the bound is enforced on
+        concrete host-side indices and exported as ``sample.max_step`` for
+        trajectory-length validation (diagnostics/trajectory.py)."""
+        if cfg.max_step is None:
+            return sample
+
+        def guarded(step):
+            if isinstance(step, int) and step >= cfg.max_step:
+                raise StopIteration(
+                    f"mock sampler exhausted after {cfg.max_step} steps")
+            return sample(step)
+
+        guarded.max_step = cfg.max_step
+        return guarded
+
     if cfg.num == 0:
         actions = jnp.asarray(
             [
@@ -60,7 +79,7 @@ def make_mock_sampler(cfg: MockSamplerConfig) -> SamplerFn:
             del step
             return actions
 
-        return sample
+        return bounded(sample)
 
     if cfg.num == 1:
         turn = math.radians(1.8)
@@ -82,7 +101,7 @@ def make_mock_sampler(cfg: MockSamplerConfig) -> SamplerFn:
         def sample(step: jax.Array) -> jax.Array:
             return jnp.where(step == 0, first, rest)
 
-        return sample
+        return bounded(sample)
 
     raise ValueError(f"unknown mock sampler {cfg.num}")
 

@@ -28,7 +28,15 @@ class Dense(NamedTuple):
     b: jax.Array  # (out,)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        return x @ self.w + self.b
+        # Always accumulate in float32: a no-op for f32 operands, and the
+        # MXU-native mode for bf16 operands (bf16 inputs, f32 accumulator)
+        # used by the bf16_updates training path.
+        return jnp.dot(x, self.w, preferred_element_type=jnp.float32) + self.b
+
+    def cast(self, dtype) -> "Dense":
+        """Matmul operands in ``dtype``; the bias stays f32 (it adds into
+        the f32 accumulator output)."""
+        return Dense(self.w.astype(dtype), self.b)
 
 
 class ActorParams(NamedTuple):
@@ -71,26 +79,45 @@ def critic_init(rng: jax.Array, obs_size: int, num_agents: int,
     )
 
 
-def actor_apply(params: ActorParams, obs: jax.Array):
+def actor_apply(params: ActorParams, obs: jax.Array, compute_dtype=None):
     """obs (..., A, obs_size) -> (mean, var) each (...*A, action_size).
 
     Agents fold into the batch axis (reference models.py:19, 27-28), so one
     matmul serves every agent of every env — MXU-friendly at any batch size.
     The ``var`` head is the covariance diagonal (see distributions.py).
+
+    ``compute_dtype=jnp.bfloat16`` runs the matmuls with bf16 operands and
+    f32 accumulation (the MXU's 2x-throughput mode) and stores the hidden
+    activations bf16 (halving the dominant HBM traffic of the update
+    phase); parameters, nonlinearities and outputs stay f32.
     """
     x = obs.reshape(-1, obs.shape[-1])
-    h = params.fc1(x)  # NB: no activation (reference models.py:29)
-    mean = jnp.tanh(params.fc_mu(h))
-    var = jax.nn.softplus(params.fc_var(h))
+    fc1, fmu, fvar = params.fc1, params.fc_mu, params.fc_var
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        fc1, fmu, fvar = (d.cast(compute_dtype) for d in (fc1, fmu, fvar))
+    h = fc1(x)  # NB: no activation (reference models.py:29)
+    if compute_dtype is not None:
+        h = h.astype(compute_dtype)
+    mean = jnp.tanh(fmu(h))
+    var = jax.nn.softplus(fvar(h))
     return mean, var
 
 
-def critic_apply(params: CriticParams, obs: jax.Array) -> jax.Array:
+def critic_apply(params: CriticParams, obs: jax.Array,
+                 compute_dtype=None) -> jax.Array:
     """obs (..., A, obs_size) -> values (..., 1).
 
     Agents fold into the feature axis — the centralized critic
-    (reference models.py:44, 51-55).
+    (reference models.py:44, 51-55).  ``compute_dtype`` as in
+    ``actor_apply``.
     """
     x = obs.reshape(obs.shape[0], -1)
-    h = jax.nn.relu(params.fc1(x))
-    return params.fc2(h)
+    fc1, fc2 = params.fc1, params.fc2
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        fc1, fc2 = fc1.cast(compute_dtype), fc2.cast(compute_dtype)
+    h = jax.nn.relu(fc1(x))
+    if compute_dtype is not None:
+        h = h.astype(compute_dtype)
+    return fc2(h)

@@ -5,6 +5,7 @@ from marlnav_tpu.ops.fused_rollout import (
     env_state_to_rows,
     make_fused_rollout,
     rows_to_env_arrays,
+    rows_to_env_state,
 )
 from marlnav_tpu.ops.fused_collect import make_fused_collect
 from marlnav_tpu.ops.sharded import make_sharded_fused_rollout
@@ -16,4 +17,5 @@ __all__ = [
     "make_fused_rollout",
     "make_sharded_fused_rollout",
     "rows_to_env_arrays",
+    "rows_to_env_state",
 ]

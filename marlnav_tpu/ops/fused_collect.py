@@ -36,9 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 from marlnav_tpu.algo.mappo import (
     Buffer,
     RolloutMetrics,
-    _sample_std,
     discounted_returns,
     gae_advantages,
+    reference_returns,
 )
 from marlnav_tpu.config import MAPPOConfig
 from marlnav_tpu.env.types import EpisodeStats
@@ -356,15 +356,14 @@ def make_fused_collect(
         done = vd[:, :, 1] > 0.5
 
         # Returns processing — identical to algo/mappo.py collect.
-        rets = discounted_returns(rewards, done, cfg.gamma)
-        mean_rew = jnp.mean(rets)
         if cfg.use_gae:
+            mean_rew = jnp.mean(discounted_returns(rewards, done, cfg.gamma))
             last_value = critic_apply(ts.critic, final_obs(rows2))[:, 0]
             adv = gae_advantages(rewards, done, values[..., 0], last_value,
                                  cfg.gamma, cfg.gae_lambda)
             rets = adv + values[..., 0]
         else:
-            rets = (rets - mean_rew) / (_sample_std(rets) + 1e-12)
+            rets, mean_rew = reference_returns(rewards, done, cfg)
 
         stats = EpisodeStats(
             num_trunc=jnp.sum(stats_t[0]).astype(jnp.int32),

@@ -127,6 +127,22 @@ def rows_to_env_arrays(rows: RowState):
             rows.misc[0].astype(jnp.int32), rows.misc[1] > 0.5)
 
 
+def rows_to_env_state(rows: RowState, rng: jax.Array, stats=None):
+    """RowState -> canonical ``EnvState`` — the checkpoint interchange
+    layout, so checkpoints written with and without ``--fused-collect`` are
+    interchangeable (fused training threads no key through the state, so a
+    fresh ``rng`` must be supplied; ``stats`` defaults to zeros — they are
+    harvested and reset per rollout anyway)."""
+    from marlnav_tpu.env.types import EnvState, EpisodeStats
+
+    states, obstacles, target, step_num, latch = rows_to_env_arrays(rows)
+    return EnvState(
+        states=states, obstacles=obstacles, target=target,
+        step_num=step_num, terminates=latch,
+        stats=stats if stats is not None else EpisodeStats.zeros(), rng=rng,
+    )
+
+
 def untile(tiled: jax.Array, num_envs: int) -> jax.Array:
     """(T, 8, nb*128) tile-layout output -> (T, P): env p maps to
     (block, sublane, lane) = (p // 1024, (p % 1024) // 128, p % 128)."""

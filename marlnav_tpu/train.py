@@ -44,6 +44,7 @@ def train(
     verbose: bool = True,
     jit_repeats: int = 1,
     fused_collect: bool = False,
+    allow_interpret: bool = False,
 ):
     """Run full MAPPO training per ``cfg``; returns the final TrainState.
 
@@ -81,17 +82,21 @@ def train(
         # Off-TPU the kernel runs under the Pallas interpreter (CI/smoke
         # only: its in-kernel PRNG is degenerate there — see ops notes).
         interpret = jax.devices()[0].platform != "tpu"
-        if interpret:
-            import warnings
-
-            warnings.warn(
+        if interpret and not allow_interpret:
+            # Training on constant noise is silently wrong — refuse instead
+            # of warning (a smoke test can opt in with --allow-interpret).
+            raise RuntimeError(
                 "--fused-collect off-TPU runs under the Pallas interpreter, "
-                "whose in-kernel PRNG is DEGENERATE (constant noise): use "
-                "this only for smoke tests, never for real training.",
-                stacklevel=2)
+                "whose in-kernel PRNG is DEGENERATE (constant noise); "
+                "refusing to train on it.  Pass --allow-interpret for "
+                "smoke tests only.")
         fc = make_fused_collect(
             cfg.model, cfg.env, cfg.init, cfg.normalizer, cfg.scaler,
             interpret=interpret, mesh=mesh)
+        # Checkpoints always store the canonical EnvState layout (the rows
+        # layout is a kernel-internal detail), so resumes work across a
+        # --fused-collect flag flip in either direction.
+        canon_template = env_state
         env_state = env_state_to_rows(env_state)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -100,12 +105,28 @@ def train(
                 env_state, jax.tree.map(
                     lambda _: NamedSharding(mesh, P(None, "data")),
                     env_state))
-        # Spread seeds while staying in int32 (the kernel seed dtype).
+        # Spread seeds while staying in int32 (the kernel seed dtype):
+        # bounding base_seed below 2**30 leaves headroom so
+        # base_seed + repeat provably cannot wrap int32 for any
+        # representable repeat count (the kernel folds (seed, block, chunk)
+        # through the PRNG hash, so nearby seeds still give independent
+        # streams).
         base_seed = ((cfg.seed if cfg.seed is not None else 0)
-                     * 1_000_003) % 2_147_000_000
+                     * 1_000_003) % (1 << 30)
 
         def do_collect(ts, env_state, repeat):
             return fc(ts, env_state, base_seed + repeat)
+
+        def to_canonical(es_rows, step):
+            from marlnav_tpu.ops import rows_to_env_state
+
+            # Fused training threads no jax.random key; synthesize a
+            # step-dependent one so a resume WITHOUT --fused-collect gets a
+            # valid, per-checkpoint-distinct reset stream.
+            return rows_to_env_state(es_rows,
+                                     rng=jax.random.fold_in(loop_rng, step))
+
+        from_canonical = env_state_to_rows
 
         def do_train_many(ts, env_state, start_repeat_, n):
             # Streams derive from absolute repeat numbers (integer seeds),
@@ -127,6 +148,13 @@ def train(
                                  jax.random.fold_in(loop_rng, repeat))
 
         do_train_many = None  # mappo.train_many used directly below
+        canon_template = env_state
+
+        def to_canonical(es, step):
+            return es
+
+        def from_canonical(es):
+            return es
 
     logger = StatsLogger(root=output_root)
     start_repeat = 0
@@ -137,14 +165,10 @@ def train(
 
         ckpt = Checkpointer(checkpoint_dir, save_interval=checkpoint_interval)
         if resume and ckpt.latest_step() is not None:
-            try:
-                step, (ts, env_state), host = ckpt.restore((ts, env_state))
-            except Exception as e:
-                raise ValueError(
-                    "checkpoint restore failed — checkpoints written with "
-                    "and without --fused-collect store different env-state "
-                    "layouts (RowState vs EnvState) and are not "
-                    "interchangeable; resume with the same flag") from e
+            # Checkpoints store the canonical EnvState layout regardless of
+            # --fused-collect, so resume works across a flag flip.
+            step, (ts, canon), host = ckpt.restore((ts, canon_template))
+            env_state = from_canonical(canon)
             start_repeat = step + 1
             if host:
                 logger.load_state_dict(host)
@@ -203,8 +227,8 @@ def train(
             last = repeat + block - 1
             crosses = (last // ckpt.save_interval) > ((repeat - 1)
                                                       // ckpt.save_interval)
-            ckpt.save(last, (ts, env_state), logger.state_dict(),
-                      force=crosses)
+            ckpt.save(last, (ts, to_canonical(env_state, last)),
+                      logger.state_dict(), force=crosses)
 
         if verbose:
             last_rew = logger.logs["mean_rews"][-1]
@@ -217,8 +241,9 @@ def train(
         repeat += block
 
     if ckpt is not None and m.num_repeats > start_repeat:
-        ckpt.save(m.num_repeats - 1, (ts, env_state), logger.state_dict(),
-                  force=True)
+        ckpt.save(m.num_repeats - 1,
+                  (ts, to_canonical(env_state, m.num_repeats - 1)),
+                  logger.state_dict(), force=True)
         ckpt.close()
     logger.save_stats(config_to_json(cfg))
     return ts, env_state, logger

@@ -41,10 +41,18 @@ class Checkpointer:
              force: bool = False) -> bool:
         if not force and step % self.save_interval != 0:
             return False
+        if step in self._mgr.all_steps():
+            # Already persisted (e.g. the final forced save landing on an
+            # interval step): report "not saved" instead of letting the
+            # manager silently decline or error on the duplicate.
+            return False
         args = {"tree": ocp.args.StandardSave(tree)}
         if host_state is not None:
             args["host"] = ocp.args.JsonSave(host_state)
-        saved = self._mgr.save(step, args=ocp.args.Composite(**args))
+        # Forward force so a forced save bypasses the manager's own
+        # should_save policy too, not just the local interval check.
+        saved = self._mgr.save(step, args=ocp.args.Composite(**args),
+                               force=force)
         self._mgr.wait_until_finished()
         return saved
 

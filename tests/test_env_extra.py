@@ -110,6 +110,35 @@ def test_constant_sampler_scenario_semantics():
     np.testing.assert_allclose(dx, sc[1:, :, :, 4], atol=1e-3)
 
 
+def test_mock_sampler_exhaustion_semantics():
+    """The reference's scripted samplers are generators yielding exactly
+    max_step tensors — one more draw raises StopIteration (reference
+    utils.py:428-448).  The rebuild enforces the same bound on concrete
+    step indices and at trajectory-build time."""
+    import pytest
+
+    from marlnav_tpu.config import MockSamplerConfig, mock_init_scenario
+    from marlnav_tpu.diagnostics.trajectory import rollout_trajectory
+    from marlnav_tpu.env.samplers import make_mock_sampler
+
+    sampler = make_mock_sampler(MockSamplerConfig(num=0, max_step=5))
+    assert sampler(4).shape == (2, 3, 2)
+    with pytest.raises(StopIteration):
+        sampler(5)
+
+    init = mock_init_scenario(0)
+    env = make_env(
+        EnvParams(num_parallel=2, num_obstacles=1, episode_len=200),
+        init, MockSamplerConfig(num=0, max_step=5))
+    rollout_trajectory(env, 5, jax.random.PRNGKey(0))  # at the bound: fine
+    with pytest.raises(StopIteration):
+        rollout_trajectory(env, 6, jax.random.PRNGKey(0))
+
+    # Unbounded config (library use): a total step function, as before.
+    unbounded = make_mock_sampler(MockSamplerConfig(num=0))
+    assert unbounded(10_000).shape == (2, 3, 2)
+
+
 def test_staggered_resets_decorrelate_truncations():
     """With staggered_resets, initial phases are spread over the episode and
     truncations arrive steadily instead of in one synchronized wave."""

@@ -8,6 +8,8 @@ so within a window where no env finishes (no reset randomness is
 consumed), every buffer field must match to fp tolerance.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -90,10 +92,15 @@ def xla_mirror(env, ts, s0, noise_pe, num_steps):
     return recs
 
 
-def test_buffer_parity_vs_xla_mirror():
-    """No env finishes in 8 steps from the triangle start, so reset
-    randomness is never consumed and every buffer field must match."""
-    t = 8
+@pytest.mark.parametrize("t", [8, 20], ids=["single-chunk", "two-chunks"])
+def test_buffer_parity_vs_xla_mirror(t):
+    """No env finishes in t steps from the triangle start, so reset
+    randomness is never consumed and every buffer field must match.
+
+    t=8 runs as one time chunk; t=20 splits into two 10-step chunks,
+    exercising cross-chunk scratch persistence and the chunk-indexed
+    output/noise windows that the production buffer_len=1000 (100 chunks)
+    depends on (round-1 advisor finding)."""
     cfg, ep, icfg, env, mappo, collect = build(t)
     ts, s0 = mappo.init(jax.random.PRNGKey(0))
     noise = host_noise(jax.random.PRNGKey(5), t)
@@ -188,10 +195,53 @@ def test_train_driver_fused_collect(tmp_path, monkeypatch):
         ["-np", "1024", "-nt", "40960", "-bl", "20", "-bs", "10",
          "-ne", "1", "-se", "3"])  # 2 repeats at the kernel's 1024-env min
     cfg = resolve_run_config(args)
-    ts, env_state, logger = train(cfg, verbose=False, fused_collect=True)
+    # Off-TPU the driver refuses the degenerate interpreter PRNG unless
+    # explicitly allowed (smoke tests only).
+    with pytest.raises(RuntimeError, match="DEGENERATE"):
+        train(cfg, verbose=False, fused_collect=True)
+    ts, env_state, logger = train(cfg, verbose=False, fused_collect=True,
+                                  allow_interpret=True)
     assert len(logger.logs["mean_rews"]) == 2
     assert np.isfinite(logger.logs["mean_rews"]).all()
     assert (tmp_path / "logs").exists() and (tmp_path / "weights").exists()
+
+
+def test_checkpoint_resume_across_fused_flag(tmp_path, monkeypatch):
+    """Checkpoints store the canonical EnvState layout regardless of
+    --fused-collect, so a checkpointed run resumes across a flag flip in
+    either direction (round-1 verdict item 7)."""
+    from marlnav_tpu.__main__ import build_parser
+    from marlnav_tpu.config import resolve_run_config
+    from marlnav_tpu.train import train
+
+    def parse(nt):
+        return resolve_run_config(build_parser().parse_args(
+            ["-np", "1024", "-nt", str(nt), "-bl", "4", "-bs", "4",
+             "-ne", "1", "-se", "3"]))
+
+    cfg2, cfg3 = parse(8192), parse(12288)  # 2 and 3 repeats
+
+    # fused checkpoint -> plain resume
+    os.makedirs(tmp_path / "a")
+    monkeypatch.chdir(tmp_path / "a")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    train(cfg2, checkpoint_dir=ckpt_a, checkpoint_interval=1, verbose=False,
+          fused_collect=True, allow_interpret=True)
+    _, es, logger = train(cfg3, checkpoint_dir=ckpt_a, checkpoint_interval=1,
+                          resume=True, verbose=False)
+    assert len(logger.logs["mean_rews"]) == 3
+    assert np.isfinite(logger.logs["mean_rews"]).all()
+
+    # plain checkpoint -> fused resume
+    os.makedirs(tmp_path / "b")
+    monkeypatch.chdir(tmp_path / "b")
+    ckpt_b = str(tmp_path / "ckpt_b")
+    train(cfg2, checkpoint_dir=ckpt_b, checkpoint_interval=1, verbose=False)
+    _, es, logger = train(cfg3, checkpoint_dir=ckpt_b, checkpoint_interval=1,
+                          resume=True, verbose=False,
+                          fused_collect=True, allow_interpret=True)
+    assert len(logger.logs["mean_rews"]) == 3
+    assert np.isfinite(logger.logs["mean_rews"]).all()
 
 
 def test_gae_returns_parity():

@@ -197,6 +197,90 @@ def test_full_repeat_trains(mappo_setup):
     assert not np.allclose(np.asarray(ts2.critic.fc1.w), np.asarray(ts.critic.fc1.w))
 
 
+def test_returns_f64_matches_reference_accumulator():
+    """returns_f64 reproduces the reference's float64 return pipeline
+    (reference models.py:131-148, accumulator ``dtype=float``) exactly, at
+    reward magnitudes (~1e3) where the f32 path visibly deviates."""
+    from marlnav_tpu.algo.mappo import reference_returns
+
+    rng = np.random.default_rng(0)
+    t, p = 400, 8
+    rewards = jnp.asarray(rng.normal(scale=1000.0, size=(t, p)), jnp.float32)
+    done = jnp.asarray(rng.uniform(size=(t, p)) < 0.01)
+    cfg = small_cfg(returns_f64=True)
+
+    with pytest.raises(ValueError, match="x64"):
+        reference_returns(rewards, done, cfg)
+
+    try:
+        jax.config.update("jax_enable_x64", True)
+        normed64, mean64 = jax.jit(reference_returns, static_argnums=2)(
+            rewards, done, cfg)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    # numpy float64 mirror of the reference backward loop + z-norm.
+    r, d = np.asarray(rewards, np.float64), np.asarray(done)
+    curr, rets = np.zeros(p), np.zeros((t, p))
+    for i in range(t - 1, -1, -1):
+        curr = np.where(d[i], 0.0, r[i] + cfg.gamma * curr)
+        rets[i] = curr
+    expect = (rets - rets.mean()) / (rets.std(ddof=1) + 1e-12)
+
+    assert normed64.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(normed64, np.float64), expect,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(mean64), rets.mean(), rtol=1e-12)
+
+    # The f32 path deviates from the f64 truth by more than f32 rounding of
+    # the result — i.e. the accumulation dtype genuinely matters here.
+    normed32, _ = reference_returns(rewards, done, small_cfg())
+    dev32 = np.abs(np.asarray(normed32, np.float64) - expect).max()
+    dev64 = np.abs(np.asarray(normed64, np.float64) - expect).max()
+    assert dev64 < dev32
+
+
+def test_bf16_updates_parity():
+    """bf16_updates changes only matmul operand precision (f32 accumulate):
+    losses and gradients must track the f32 path to bf16 input-rounding
+    tolerance, and a full update phase must train to a nearby state."""
+    rng = np.random.default_rng(11)
+    buf = rand_buffer(rng)
+    cfg32 = small_cfg()
+    cfg16 = small_cfg(bf16_updates=True)
+
+    from marlnav_tpu.models import actor_init, critic_init
+
+    actor = actor_init(jax.random.PRNGKey(0), OBS, 16, 2)
+    critic = critic_init(jax.random.PRNGKey(1), OBS, A, 16)
+
+    la32, ga32 = jax.value_and_grad(actor_loss)(actor, buf, cfg32)
+    la16, ga16 = jax.value_and_grad(actor_loss)(actor, buf, cfg16)
+    # bf16 has ~8 mantissa bits -> relative rounding ~4e-3 per operand.
+    np.testing.assert_allclose(float(la16), float(la32), rtol=2e-2, atol=2e-2)
+    for g32, g16 in zip(jax.tree.leaves(ga32), jax.tree.leaves(ga16)):
+        denom = np.maximum(np.abs(np.asarray(g32)), 1e-2)
+        assert (np.abs(np.asarray(g16) - np.asarray(g32)) / denom).max() < 0.15
+
+    lc32 = critic_loss(critic, buf, cfg32)
+    lc16 = critic_loss(critic, buf, cfg16)
+    np.testing.assert_allclose(float(lc16), float(lc32), rtol=2e-2, atol=2e-2)
+
+    # Full update phase: both precisions train from the same start to
+    # nearby parameters (and all-f32 state dtypes are preserved).
+    env = make_small_env()
+    m32 = make_mappo(cfg32, env, NormalizerConfig(), ScalerConfig())
+    m16 = make_mappo(cfg16, env, NormalizerConfig(), ScalerConfig())
+    ts, env_state = m32.init(jax.random.PRNGKey(5))
+    _, buf2, _ = jax.jit(m32.collect)(ts, env_state, jax.random.PRNGKey(6))
+    ts32, _ = jax.jit(m32.train_actor)(ts, buf2)
+    ts16, _ = jax.jit(m16.train_actor)(ts, buf2)
+    for p32, p16 in zip(jax.tree.leaves(ts32.actor), jax.tree.leaves(ts16.actor)):
+        assert p16.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(p16), np.asarray(p32),
+                                   rtol=0.1, atol=5e-3)
+
+
 def test_gae_mode_runs():
     cfg = small_cfg(faithful=False, use_gae=True)
     mappo = make_mappo(cfg, make_small_env(), NormalizerConfig(), ScalerConfig())
