@@ -108,6 +108,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="use the fused Pallas rollout kernel for "
                              "training data collection (TPU, triangle "
                              "scenarios, single chip; ~20x faster rollouts)")
+    parser.add_argument("--fused-updates", action="store_true",
+                        help="fused Pallas PPO-update kernels: loss + all "
+                             "gradients in one streaming pass per "
+                             "minibatch (Adam unchanged; works off-TPU "
+                             "too — no PRNG involved)")
     parser.add_argument("--returns-f64", action="store_true",
                         help="accumulate/normalize discounted returns in "
                              "float64 (the reference's accumulator dtype; "

@@ -304,31 +304,65 @@ def make_mappo(
     # Update loops (reference models.py:160-198)
     # ------------------------------------------------------------------
 
-    def _train_phase(loss_fn, tx, get_params, get_opt, set_both):
+    # Fused-update kernels (ops/fused_update.py): forward + hand-derived
+    # backward of each loss in one streaming Pallas pass, grads returned
+    # for the SAME optax Adam — exact optimizer-semantics parity, and the
+    # gradient psum still slots in under a mesh.  No PRNG is involved, so
+    # interpret mode off-TPU is fully functional.
+    if cfg.fused_updates:
+        from marlnav_tpu.ops.fused_update import (
+            make_fused_actor_grad,
+            make_fused_critic_grad,
+            stage_actor_minibatch,
+            stage_critic_minibatch,
+        )
+
+        interpret = jax.devices()[0].platform != "tpu"
+        actor_stage = lambda mb: stage_actor_minibatch(mb, cfg)  # noqa: E731
+        critic_stage = lambda mb: stage_critic_minibatch(mb, cfg)  # noqa: E731
+        actor_kernel = make_fused_actor_grad(cfg, interpret=interpret)
+        critic_kernel = make_fused_critic_grad(cfg, interpret=interpret)
+    else:
+        actor_stage = critic_stage = actor_kernel = critic_kernel = None
+
+    def _train_phase(loss_fn, stage_fn, kernel_grad, tx, get_params, get_opt,
+                     set_both):
         def train(ts: TrainState, buffer: Buffer):
             slices = minibatch_slices(buffer, cfg)
             # Group equally-sized minibatches so each group is a scan
             # (compiled once) over stacked slices; epochs are an outer scan.
+            # Fused mode stages each slice into the kernel's feature-major
+            # layout ONCE here — not per epoch.
             by_size = {}
             for s in slices:
                 by_size.setdefault(s.obs.shape[0], []).append(s)
-            groups = [
-                jax.tree.map(lambda *xs: jnp.stack(xs), *group)
-                for group in by_size.values()
-            ]
+            groups = []
+            for group in by_size.values():
+                if stage_fn is None:
+                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                    groups.append((stacked, None))
+                else:
+                    staged = [stage_fn(s) for s in group]
+                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                           *[t for t, _ in staged])
+                    groups.append((stacked, staged[0][1]))
 
             def epoch(carry, _):
                 params, opt = carry
 
-                def mb_step(carry, mb):
-                    params, opt = carry
-                    loss, grads = jax.value_and_grad(loss_fn)(params, mb, cfg)
-                    updates, opt = tx.update(grads, opt, params)
-                    params = optax.apply_updates(params, updates)
-                    return (params, opt), loss
-
                 losses = []
-                for g in groups:
+                for g, n_rows in groups:
+                    def mb_step(carry, mb, n_rows=n_rows):
+                        params, opt = carry
+                        if kernel_grad is None:
+                            loss, grads = jax.value_and_grad(loss_fn)(
+                                params, mb, cfg)
+                        else:
+                            loss, grads = kernel_grad(params, mb, n_rows)
+                        updates, opt = tx.update(grads, opt, params)
+                        params = optax.apply_updates(params, updates)
+                        return (params, opt), loss
+
                     (params, opt), ls = jax.lax.scan(mb_step, (params, opt), g)
                     losses.append(ls)
                 return (params, opt), jnp.concatenate(losses)
@@ -342,6 +376,8 @@ def make_mappo(
 
     train_actor = _train_phase(
         actor_loss,
+        actor_stage,
+        actor_kernel,
         actor_tx,
         lambda ts: ts.actor,
         lambda ts: ts.actor_opt,
@@ -349,6 +385,8 @@ def make_mappo(
     )
     train_critic = _train_phase(
         critic_loss,
+        critic_stage,
+        critic_kernel,
         critic_tx,
         lambda ts: ts.critic,
         lambda ts: ts.critic_opt,

@@ -292,6 +292,9 @@ class MAPPOConfig:
     # traffic).  Parameters, optimizer state, log-probs, and the whole
     # rollout stay f32; only the loss-side network matmuls change.
     bf16_updates: bool = False
+    # Fused Pallas update kernels (ops/fused_update.py): loss + all
+    # gradients in one streaming pass per minibatch, Adam unchanged.
+    fused_updates: bool = False
 
     def __post_init__(self):
         # Same validation as the reference (utils.py:157-162).
@@ -423,6 +426,7 @@ def resolve_run_config(args) -> RunConfig:
             use_gae=getattr(args, "use_gae", False),
             returns_f64=getattr(args, "returns_f64", False),
             bf16_updates=getattr(args, "bf16_updates", False),
+            fused_updates=getattr(args, "fused_updates", False),
         )
 
     normalizer = NormalizerConfig(

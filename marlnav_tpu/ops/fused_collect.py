@@ -196,7 +196,7 @@ def make_fused_collect(
             stats[1] = stats[1] + any_coll
             stats[2] = stats[2] + all_in_target
 
-            u = [uu - 0.5 for uu in uniforms(t, 2 * a, 2 * o)]
+            u = uniforms(t, 2 * a, sm.n_reset_draws)
             sm.reset_blend(st, finished, 1.0 - finished, npx, npy, nhx, nhy,
                            nsp, obx, oby, step_num, new_latch, u)
             return 0

@@ -166,8 +166,8 @@ def make_fused_rollout(
 
     ``rows`` is a RowState over P envs (P % 1024 == 0); ``seed`` a scalar
     int32 (per-block streams are derived from it); ``rewards`` is
-    (num_steps, P).  Requires the default 3-agent triangle scenario family
-    (non-noisy init) — the production perf path.
+    (num_steps, P).  Covers the 3-agent triangle scenario family including
+    ``noisy_ags`` resets; mock/diagnostic scenarios use the XLA path.
     """
     sm = StepMath(env_params, init_cfg, normalizer_cfg, scaler_cfg)
     a, o, n_rows, n_draws = sm.a, sm.o, sm.n_rows, sm.n_draws
@@ -253,7 +253,7 @@ def make_fused_rollout(
             finished = jnp.maximum(terminated, jnp.where(trunc, 1.0, 0.0))
             new_latch = jnp.where(latch > 0.5, 0.0, all_in_target)
 
-            u = [uu - 0.5 for uu in uniforms(t, 2 * a, 2 * o)]
+            u = uniforms(t, 2 * a, sm.n_reset_draws)
             sm.reset_blend(st, finished, 1.0 - finished, npx, npy, nhx, nhy,
                            nsp, obx, oby, step_num, new_latch, u)
             return 0

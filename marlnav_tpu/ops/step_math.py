@@ -73,14 +73,21 @@ class StepMath:
         p = env_params
         self.p = p
         self.a, self.o = p.num_agents, p.num_obstacles
-        if init_cfg.noisy_ags:
-            raise NotImplementedError("fused kernels: noisy_ags unsupported")
         if self.a != 3:
-            raise NotImplementedError("fused kernels assume 3 agents")
+            raise NotImplementedError(
+                "fused kernels cover the triangle scenario family (3 "
+                "agents); mock/diagnostic scenarios use the XLA path")
         self.init_cfg = init_cfg
         self.obs_size = p.obs_size
         self.n_rows = 5 * self.a + 2 * self.o + 4
-        self.n_draws = 2 * self.a + 2 * self.o
+        # Reset draw budget: 2 uniforms per obstacle, plus — with noisy_ags
+        # (reference utils.py:370-388) — 3 per agent (a Box-Muller pair for
+        # the position noise + 1 for the heading angle).
+        self.noisy = bool(init_cfg.noisy_ags)
+        self.n_reset_draws = 2 * self.o + (3 * self.a if self.noisy else 0)
+        self.n_draws = 2 * self.a + self.n_reset_draws
+        self.pos_std = init_cfg.ags_dist * math.sqrt(init_cfg.ags_std)
+        self.angle_range = init_cfg.angle_range
 
         # Triangle-init constants (env/initializers.py).
         pos_const = 0.5 * init_cfg.ags_dist
@@ -287,19 +294,33 @@ class StepMath:
 
     def reset_blend(self, st, m, km, npx, npy, nhx, nhy, nsp, obx, oby,
                     step_num, new_latch, u):
-        """Auto-reset: fresh triangle draw from uniforms ``u`` (2*O tiles,
-        already centered at 0), mask-blended into the state scratch
-        (env/env.py step reinit)."""
+        """Auto-reset: fresh triangle draw from raw uniforms ``u``
+    (``n_reset_draws`` tiles in [0, 1)), mask-blended into the state
+        scratch (env/env.py step reinit; noisy_ags per
+        env/initializers.py <- reference utils.py:370-388)."""
         for j in range(self.o):
-            st[self.OBX + j] = (m * (u[j] * self.ox_range + self.ox_mean)
-                                + km * obx[j])
-            st[self.OBY + j] = (m * (u[self.o + j] * self.oy_range
+            st[self.OBX + j] = (m * ((u[j] - 0.5) * self.ox_range
+                                     + self.ox_mean) + km * obx[j])
+            st[self.OBY + j] = (m * ((u[self.o + j] - 0.5) * self.oy_range
                                      + self.oy_mean) + km * oby[j])
+        k = 2 * self.o
         for i in range(self.a):
-            st[self.PX + i] = m * self.base_x[i] + km * npx[i]
-            st[self.PY + i] = m * self.base_y[i] + km * npy[i]
-            st[self.DX + i] = m * 1.0 + km * nhx[i]
-            st[self.DY + i] = km * nhy[i]
+            if self.noisy:
+                # Gaussian position noise (std ags_dist*sqrt(ags_std) per
+                # coordinate: the reference parameterizes the COVARIANCE
+                # diagonal) + uniform heading rotation of (1, 0).
+                z0, z1 = box_muller(u[k + 3 * i], u[k + 3 * i + 1])
+                ang = self.angle_range * (u[k + 3 * i + 2] - 0.5)
+                bx = self.base_x[i] + self.pos_std * z0
+                by = self.base_y[i] + self.pos_std * z1
+                hx0, hy0 = jnp.cos(ang), jnp.sin(ang)
+                st[self.DY + i] = m * hy0 + km * nhy[i]
+            else:
+                bx, by, hx0 = self.base_x[i], self.base_y[i], 1.0
+                st[self.DY + i] = km * nhy[i]
+            st[self.PX + i] = m * bx + km * npx[i]
+            st[self.PY + i] = m * by + km * npy[i]
+            st[self.DX + i] = m * hx0 + km * nhx[i]
             st[self.SP + i] = m * self.init_cfg.init_speed + km * nsp[i]
         # Target is constant under the triangle init; leave as-is.
         st[self.SN] = km * step_num

@@ -59,6 +59,11 @@ def train(
     then save once per block.
     """
     assert cfg.model is not None, "train requires a model config"
+    if cfg.model.fused_updates and mesh is not None:
+        raise NotImplementedError(
+            "--fused-updates under a device mesh is not supported yet "
+            "(the update kernel is single-shard); drop one of the flags — "
+            "the XLA update path shards fine")
     env = make_env(cfg.env, cfg.init, None)
     mappo = make_mappo(cfg.model, env, cfg.normalizer, cfg.scaler)
 

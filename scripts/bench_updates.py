@@ -1,0 +1,102 @@
+"""Benchmark the PPO update phase (actor + critic) on the current backend.
+
+The round-1 profile showed the update phase dominating training wall-clock
+(actor 77%, critic 14% at the default config — BASELINE.md); this script
+times exactly that phase over a synthetic on-device buffer, with and
+without ``bf16_updates``, so kernel-level changes can be measured without
+paying the rollout-scan compile.
+
+Usage:  python scripts/bench_updates.py [--envs 1024] [--buffer 1000]
+        [--epochs 50] [--batch 1000] [--iters 5]
+
+Axon-tunnel discipline (CLAUDE.md): timings block on the small loss output
+and a scalar fetch, never on large arrays.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from marlnav_tpu.algo import Buffer, make_mappo
+from marlnav_tpu.config import (
+    EnvParams,
+    MAPPOConfig,
+    NormalizerConfig,
+    ScalerConfig,
+    TriangleInitConfig,
+)
+from marlnav_tpu.env import make_env
+
+A, OBS = 3, 12
+
+
+def synth_buffer(key, t, p):
+    ks = jax.random.split(key, 6)
+    return Buffer(
+        obs=jax.random.uniform(ks[0], (t, p, A, OBS), jnp.float32, -1, 1),
+        actions=jax.random.uniform(ks[1], (t, p, A, 2), jnp.float32, -1, 1),
+        log_probs=jax.random.normal(ks[2], (t, p * A), jnp.float32),
+        values=jax.random.normal(ks[3], (t, p, 1), jnp.float32),
+        returns=jax.random.normal(ks[4], (t, p), jnp.float32),
+        done=jax.random.uniform(ks[5], (t, p)) < 0.005,
+    )
+
+
+def bench(label, fn, ts, buf, iters):
+    ts2, losses = fn(ts, buf)
+    float(losses[0])  # compile + settle
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts2, losses = fn(ts2, buf)
+    float(losses[-1])
+    jax.block_until_ready(ts2)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{label}: {dt * 1e3:8.1f} ms/phase")
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=1024)
+    ap.add_argument("--buffer", type=int, default=1000)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=1000)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    print("device:", jax.devices()[0].platform, jax.devices()[0].device_kind)
+    t, p = args.buffer, args.envs
+    buf = jax.block_until_ready(synth_buffer(jax.random.PRNGKey(0), t, p))
+
+    results = {}
+    variants = [("fp32", {}), ("bf16", {"bf16_updates": True}),
+                ("fused", {"fused_updates": True}),
+                ("fused+bf16", {"fused_updates": True, "bf16_updates": True})]
+    for tag, kw in variants:
+        cfg = MAPPOConfig(
+            num_parallel=p, buffer_len=t, batch_size=args.batch,
+            num_epochs=args.epochs, num_total=t * p, **kw,
+        )
+        env = make_env(EnvParams(num_parallel=p),
+                       TriangleInitConfig(num_parallel=p), None)
+        mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
+        ts, _ = mappo.init(jax.random.PRNGKey(1))
+        a = bench(f"actor  {tag:10s}", jax.jit(mappo.train_actor), ts, buf,
+                  args.iters)
+        c = bench(f"critic {tag:10s}", jax.jit(mappo.train_critic), ts, buf,
+                  args.iters)
+        results[tag] = (a, c)
+
+    a32, c32 = results["fp32"]
+    for tag in ("bf16", "fused", "fused+bf16"):
+        a, c = results[tag]
+        print(f"{tag}: actor {a32 / a:.2f}x, critic {c32 / c:.2f}x, "
+              f"phase total {(a32 + c32) / (a + c):.2f}x")
+
+
+if __name__ == "__main__":
+    main()

