@@ -233,7 +233,16 @@ def make_mappo(
     env: Env,
     normalizer_cfg: NormalizerConfig,
     scaler_cfg: ScalerConfig,
+    mesh=None,
+    axis: str = "data",
 ) -> MAPPO:
+    """Build the MAPPO function bundle.
+
+    ``mesh`` only matters for ``cfg.fused_updates``: the update kernels are
+    single-shard programs, so with a mesh each training phase shard_maps
+    over ``axis`` (env batch sharded, params replicated) and the kernels'
+    gradient sums are ``psum``-reduced before Adam — the same data-parallel
+    update the XLA path gets from jit's automatic partitioning."""
     normalize = make_obs_normalizer(normalizer_cfg)
     scale_up = make_action_scaler(scaler_cfg)
     # torch Adam defaults (betas 0.9/0.999, eps 1e-8) == optax.adam defaults.
@@ -317,22 +326,37 @@ def make_mappo(
             stage_critic_minibatch,
         )
 
+        if mesh is not None and cfg.faithful:
+            raise NotImplementedError(
+                "fused_updates under a mesh requires fixed semantics "
+                "(--fixed-semantics): the reference's faithful advantage "
+                "tile mis-pairing (reference models.py:285-286) is a "
+                "GLOBAL pattern over the env batch and cannot be staged "
+                "shard-locally; use corrected semantics for multi-chip "
+                "training, or drop the mesh for faithful curve studies")
         interpret = jax.devices()[0].platform != "tpu"
+        psum_axis = axis if mesh is not None else None
         actor_stage = lambda mb: stage_actor_minibatch(mb, cfg)  # noqa: E731
         critic_stage = lambda mb: stage_critic_minibatch(mb, cfg)  # noqa: E731
-        actor_kernel = make_fused_actor_grad(cfg, interpret=interpret)
-        critic_kernel = make_fused_critic_grad(cfg, interpret=interpret)
+        actor_kernel = make_fused_actor_grad(cfg, interpret=interpret,
+                                             psum_axis=psum_axis)
+        critic_kernel = make_fused_critic_grad(cfg, interpret=interpret,
+                                               psum_axis=psum_axis)
     else:
         actor_stage = critic_stage = actor_kernel = critic_kernel = None
 
+    n_shards = 1 if mesh is None else mesh.shape[axis]
+
     def _train_phase(loss_fn, stage_fn, kernel_grad, tx, get_params, get_opt,
                      set_both):
-        def train(ts: TrainState, buffer: Buffer):
+        def phase(params, opt, buffer: Buffer):
             slices = minibatch_slices(buffer, cfg)
             # Group equally-sized minibatches so each group is a scan
             # (compiled once) over stacked slices; epochs are an outer scan.
             # Fused mode stages each slice into the kernel's feature-major
-            # layout ONCE here — not per epoch.
+            # layout ONCE here — not per epoch.  Under shard_map this runs
+            # per shard on the local buffer slice; kernel_grad psums the
+            # sums, so n_rows must be the GLOBAL row count.
             by_size = {}
             for s in slices:
                 by_size.setdefault(s.obs.shape[0], []).append(s)
@@ -345,7 +369,7 @@ def make_mappo(
                     staged = [stage_fn(s) for s in group]
                     stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                                            *[t for t, _ in staged])
-                    groups.append((stacked, staged[0][1]))
+                    groups.append((stacked, staged[0][1] * n_shards))
 
             def epoch(carry, _):
                 params, opt = carry
@@ -368,9 +392,26 @@ def make_mappo(
                 return (params, opt), jnp.concatenate(losses)
 
             (params, opt), losses = jax.lax.scan(
-                epoch, (get_params(ts), get_opt(ts)), None, length=cfg.num_epochs
+                epoch, (params, opt), None, length=cfg.num_epochs
             )
-            return set_both(ts, params, opt), losses.reshape(-1)
+            return params, opt, losses.reshape(-1)
+
+        if mesh is not None and kernel_grad is not None:
+            from jax.sharding import PartitionSpec as P
+
+            phase = jax.shard_map(
+                phase,
+                mesh=mesh,
+                # Params/opt replicated; every Buffer leaf sharded over the
+                # env axis (axis 1 of (T, P, ...) / the flattened (T, P*A)).
+                in_specs=(P(), P(), Buffer(*([P(None, axis)] * 6))),
+                out_specs=(P(), P(), P()),
+                check_vma=False,  # pallas outs carry no vma metadata
+            )
+
+        def train(ts: TrainState, buffer: Buffer):
+            params, opt, losses = phase(get_params(ts), get_opt(ts), buffer)
+            return set_both(ts, params, opt), losses
 
         return train
 

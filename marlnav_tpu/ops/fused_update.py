@@ -99,8 +99,11 @@ def _pad_rows(x: jax.Array, n_pad: int) -> jax.Array:
 
 
 def stage_actor_minibatch(mb, cfg: MAPPOConfig):
-    """Buffer minibatch (leaves (size, P, ...)) -> (kernel layout, n_rows)."""
-    size, p, a = mb.obs.shape[0], cfg.num_parallel, cfg.num_agents
+    """Buffer minibatch (leaves (size, P, ...)) -> (kernel layout, n_rows).
+
+    Shapes are inferred from the minibatch itself (not cfg.num_parallel),
+    so the same staging serves a per-shard buffer slice under shard_map."""
+    size, p, a = mb.obs.shape[0], mb.obs.shape[1], mb.obs.shape[2]
     n = size * p * a
     n_pad = _round_up(n, _pick_blk(n))
     obs = _pad_rows(mb.obs.reshape(n, cfg.obs_size).T, n_pad)
@@ -114,7 +117,7 @@ def stage_actor_minibatch(mb, cfg: MAPPOConfig):
 
 
 def stage_critic_minibatch(mb, cfg: MAPPOConfig):
-    size, p = mb.obs.shape[0], cfg.num_parallel
+    size, p = mb.obs.shape[0], mb.obs.shape[1]
     n = size * p
     n_pad = _round_up(n, _pick_blk(n))
     obs = _pad_rows(mb.obs.reshape(n, cfg.num_agents * cfg.obs_size).T, n_pad)
@@ -140,10 +143,16 @@ def _dot(a: jax.Array, b: jax.Array, dims, dtype=None):
                                preferred_element_type=jnp.float32)
 
 
-def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False):
-    """Build ``grad(params, staged) -> (loss, ActorParams-grads)`` — the
-    fused equivalent of ``jax.value_and_grad(actor_loss)``
-    (algo/mappo.py)."""
+def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
+                          psum_axis: str | None = None):
+    """Build ``grad(params, staged, n_rows) -> (loss, ActorParams-grads)``
+    — the fused equivalent of ``jax.value_and_grad(actor_loss)``
+    (algo/mappo.py).
+
+    With ``psum_axis`` (inside shard_map) the kernel's loss/grad SUMS are
+    all-reduced over that mesh axis before the 1/n_rows scaling, so
+    ``n_rows`` must then be the GLOBAL row count — the data-parallel
+    gradient exactly as the XLA path would produce it."""
     obs_size, eps, ent_c = cfg.obs_size, cfg.epsilon, cfg.ent_const
     dtype = jnp.bfloat16 if cfg.bf16_updates else None
 
@@ -258,21 +267,26 @@ def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False):
             params.fc_var.w.T, params.fc_var.b[:, None],
         )
         loss, dw1, db1, dwmu, dbmu, dwvar, dbvar = outs
+        sums = (loss[0, 0], ActorParams(
+            fc1=Dense(dw1.T, db1[:, 0]),
+            fc_mu=Dense(dwmu.T, dbmu[:, 0]),
+            fc_var=Dense(dwvar.T, dbvar[:, 0]),
+        ))
+        if psum_axis is not None:
+            sums = jax.lax.psum(sums, psum_axis)
+        loss_sum, gsums = sums
         inv_n = 1.0 / n_rows
-        grads = ActorParams(
-            fc1=Dense(dw1.T * inv_n, db1[:, 0] * inv_n),
-            fc_mu=Dense(dwmu.T * inv_n, dbmu[:, 0] * inv_n),
-            fc_var=Dense(dwvar.T * inv_n, dbvar[:, 0] * inv_n),
-        )
-        return loss[0, 0] * inv_n, grads
+        return loss_sum * inv_n, jax.tree.map(lambda g: g * inv_n, gsums)
 
     return grad
 
 
-def make_fused_critic_grad(cfg: MAPPOConfig, interpret: bool = False):
-    """Build ``grad(params, staged) -> (loss, CriticParams-grads)`` — the
-    fused equivalent of ``jax.value_and_grad(critic_loss)``
-    (algo/mappo.py; clipped-value loss, reference models.py:301-316)."""
+def make_fused_critic_grad(cfg: MAPPOConfig, interpret: bool = False,
+                           psum_axis: str | None = None):
+    """Build ``grad(params, staged, n_rows) -> (loss, CriticParams-grads)``
+    — the fused equivalent of ``jax.value_and_grad(critic_loss)``
+    (algo/mappo.py; clipped-value loss, reference models.py:301-316).
+    ``psum_axis`` as in ``make_fused_actor_grad``."""
     in_size = cfg.num_agents * cfg.obs_size
     eps = cfg.epsilon
     dtype = jnp.bfloat16 if cfg.bf16_updates else None
@@ -356,11 +370,14 @@ def make_fused_critic_grad(cfg: MAPPOConfig, interpret: bool = False):
             params.fc2.w.T, params.fc2.b[:, None],
         )
         loss, dw1, db1, dw2, db2 = outs
+        sums = (loss[0, 0], CriticParams(
+            fc1=Dense(dw1.T, db1[:, 0]),
+            fc2=Dense(dw2.T, db2[:, 0]),
+        ))
+        if psum_axis is not None:
+            sums = jax.lax.psum(sums, psum_axis)
+        loss_sum, gsums = sums
         inv_n = 1.0 / n_rows
-        grads = CriticParams(
-            fc1=Dense(dw1.T * inv_n, db1[:, 0] * inv_n),
-            fc2=Dense(dw2.T * inv_n, db2[:, 0] * inv_n),
-        )
-        return loss[0, 0] * inv_n, grads
+        return loss_sum * inv_n, jax.tree.map(lambda g: g * inv_n, gsums)
 
     return grad

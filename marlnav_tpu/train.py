@@ -59,13 +59,10 @@ def train(
     then save once per block.
     """
     assert cfg.model is not None, "train requires a model config"
-    if cfg.model.fused_updates and mesh is not None:
-        raise NotImplementedError(
-            "--fused-updates under a device mesh is not supported yet "
-            "(the update kernel is single-shard); drop one of the flags — "
-            "the XLA update path shards fine")
     env = make_env(cfg.env, cfg.init, None)
-    mappo = make_mappo(cfg.model, env, cfg.normalizer, cfg.scaler)
+    # mesh only affects fused updates (shard_mapped phase + gradient psum);
+    # the XLA update path shards through jit's automatic partitioning.
+    mappo = make_mappo(cfg.model, env, cfg.normalizer, cfg.scaler, mesh=mesh)
 
     init_rng, loop_rng = jax.random.split(make_rng(cfg.seed))
     ts, env_state = mappo.init(init_rng)

@@ -153,6 +153,37 @@ def test_rendering_headless(tmp_path, monkeypatch):
     assert os.path.getsize(out) > 0
 
 
+def test_rendering_window_path(tmp_path, monkeypatch):
+    """The interactive window path (reference animation.py:73-77): run()
+    without --save-animation builds the FuncAnimation and calls plt.show()
+    (a no-op under the Agg backend — no display exists here), and the
+    per-frame update callback actually moves the scatter artists.  This is
+    the closest a headless box gets to the reference's PyQt5 window."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    monkeypatch.chdir(tmp_path)
+    from marlnav_tpu.config import resolve_run_config
+    from marlnav_tpu.diagnostics import init_render
+    from marlnav_tpu.env import make_env
+    from marlnav_tpu.utils.seeding import make_rng
+
+    cfg = resolve_run_config(build_parser().parse_args(
+        ["-re", "-sn", "1", "-ms", "8"]))
+    env = make_env(cfg.env, cfg.init, cfg.sampler)
+    renderer = init_render(env, cfg.animation, normalizer_cfg=cfg.normalizer,
+                           scaler_cfg=cfg.scaler,
+                           hidden_size=cfg.animation.hidden_size,
+                           rng=make_rng(3))
+    first = np.array(renderer.agents_scatter.get_offsets(), copy=True)
+    anim = renderer.run(show=True, save_path=None)  # plt.show() no-op
+    assert anim is not None
+    artists = renderer.update(5)
+    assert len(artists) > 0
+    moved = np.array(renderer.agents_scatter.get_offsets())
+    assert not np.allclose(first, moved)  # frames really advance
+
+
 def test_policy_rendering_from_trained_weights(tmp_path, monkeypatch):
     run_cli(TINY_TRAIN, tmp_path, monkeypatch)
     weights = os.path.basename(

@@ -123,6 +123,43 @@ def test_critic_grad_parity_inside_clip_band():
     assert_tree_close(grads_k, grads_ref)
 
 
+def test_fused_phase_under_mesh_matches_xla():
+    """fused_updates on a 2-shard 'data' mesh (shard_mapped phase, psum'd
+    gradient sums): same losses and parameters as the unsharded XLA path
+    on the same buffer.  Requires fixed semantics — the faithful tile
+    mis-pairing is a global pattern and is rejected with a mesh."""
+    from marlnav_tpu.parallel import make_mesh
+
+    t, p = 10, 8
+    env = make_env(EnvParams(num_parallel=p, episode_len=8),
+                   TriangleInitConfig(num_parallel=p, num_obstacles=3), None)
+    mesh = make_mesh(num_data=2, num_model=1, devices=jax.devices()[:2])
+    cfg_x = cfg_for(p, t, batch_size=5, num_epochs=2, faithful=False)
+    cfg_f = cfg_for(p, t, batch_size=5, num_epochs=2, faithful=False,
+                    fused_updates=True)
+    mx = make_mappo(cfg_x, env, NormalizerConfig(), ScalerConfig())
+    mf = make_mappo(cfg_f, env, NormalizerConfig(), ScalerConfig(),
+                    mesh=mesh)
+    ts, es = mx.init(jax.random.PRNGKey(7))
+    _, buf, _ = jax.jit(mx.collect)(ts, es, jax.random.PRNGKey(8))
+
+    ts_x, al_x = jax.jit(mx.train_actor)(ts, buf)
+    ts_f, al_f = jax.jit(mf.train_actor)(ts, buf)
+    np.testing.assert_allclose(np.asarray(al_f), np.asarray(al_x),
+                               rtol=1e-4, atol=1e-4)
+    assert_tree_close(ts_f.actor, ts_x.actor, rtol=1e-4, atol=1e-4)
+    ts_x2, cl_x = jax.jit(mx.train_critic)(ts_x, buf)
+    ts_f2, cl_f = jax.jit(mf.train_critic)(ts_f, buf)
+    np.testing.assert_allclose(np.asarray(cl_f), np.asarray(cl_x),
+                               rtol=1e-4, atol=1e-4)
+    assert_tree_close(ts_f2.critic, ts_x2.critic, rtol=1e-4, atol=1e-4)
+
+    # Faithful mode is rejected with a mesh (global tile mis-pairing).
+    with pytest.raises(NotImplementedError, match="fixed semantics"):
+        make_mappo(cfg_for(p, t, fused_updates=True),
+                   env, NormalizerConfig(), ScalerConfig(), mesh=mesh)
+
+
 def test_fused_train_phase_matches_xla():
     """make_mappo(fused_updates=True) trains to the same parameters and
     losses as the XLA path on the same collected buffer (same optax Adam
