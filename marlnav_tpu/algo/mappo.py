@@ -336,12 +336,26 @@ def make_mappo(
                 "training, or drop the mesh for faithful curve studies")
         interpret = jax.devices()[0].platform != "tpu"
         psum_axis = axis if mesh is not None else None
-        actor_stage = lambda mb: stage_actor_minibatch(mb, cfg)  # noqa: E731
-        critic_stage = lambda mb: stage_critic_minibatch(mb, cfg)  # noqa: E731
+        # The Mosaic interpreter's shared-memory simulator can deadlock
+        # when many shard_map'd kernel instances run concurrently with
+        # large packed-G buffers (observed: ACTOR_G=8 hangs on the
+        # 8-virtual-device dryrun mesh — threads wedge in the
+        # interpret_pallas_call _allocate_buffer io_callbacks — while
+        # G<=2 and real-TPU runs are fine).  G is purely a performance
+        # knob, so cap it when emulating under a mesh.
+        from marlnav_tpu.ops import fused_update as _fu
+        actor_g = critic_g = None  # module defaults (ACTOR_G / CRITIC_G)
+        if interpret and mesh is not None:
+            actor_g, critic_g = min(_fu.ACTOR_G, 2), min(_fu.CRITIC_G, 2)
+        actor_stage = lambda mb: stage_actor_minibatch(  # noqa: E731
+            mb, cfg, g=actor_g)
+        critic_stage = lambda mb: stage_critic_minibatch(  # noqa: E731
+            mb, cfg, g=critic_g)
         actor_kernel = make_fused_actor_grad(cfg, interpret=interpret,
-                                             psum_axis=psum_axis)
+                                             psum_axis=psum_axis, g=actor_g)
         critic_kernel = make_fused_critic_grad(cfg, interpret=interpret,
-                                               psum_axis=psum_axis)
+                                               psum_axis=psum_axis,
+                                               g=critic_g)
     else:
         actor_stage = critic_stage = actor_kernel = critic_kernel = None
 

@@ -11,17 +11,42 @@ These kernels compute the per-minibatch loss AND all parameter gradients
 of the actor / critic objectives (algo/mappo.py actor_loss / critic_loss,
 which replicate reference models.py:270-316) in ONE streaming pass:
 
-  * inputs live in a feature-major ``(features, rows)`` layout, so the row
-    axis rides the TPU lanes at full density (the row-major ``(rows, 12)``
-    layout would pad 12 -> 128 lanes and waste ~10x of the bandwidth);
-  * each grid step loads a ``(features, BLK)`` tile, runs forward AND
+  * each grid step loads a feature-major tile, runs forward AND
     hand-derived backward entirely in VMEM/registers, and accumulates the
-    (out, in)-shaped parameter-gradient sums plus the loss sum into
-    VMEM-resident output refs — nothing row-sized ever returns to HBM;
+    parameter-gradient sums plus the loss sum into VMEM-resident output
+    refs — nothing row-sized ever returns to HBM;
   * the optimizer stays OUTSIDE (optax Adam on the returned grads): exact
     optimizer-semantics parity with the XLA path, and under a device mesh
     the gradient ``psum`` slots between kernel and Adam exactly as for any
     XLA-computed gradient.
+
+Sublane packing (round-2 rev 2): the first cut used ``(features, rows)``
+tiles with rows on lanes, which put every per-row temporary on (1, BLK)
+or (2, BLK) tiles — 1/8 to 1/4 of the 8 VPU sublanes doing work, and the
+kernel measured VPU-bound exactly there.  This version packs G=8 row
+GROUPS onto the sublanes: the row axis splits as (G, cols), inputs are
+staged to ``(G*features, cols)``, and the tiny MLP weights are expanded
+once per call into block-diagonal form (``kron(I_G, W)``, a few hundred
+KB) so ONE matmul processes all 8 groups:
+
+    h  = W1_bd  @ x   : (G*H, C)      e.g. (400, C) for H=50
+    u  = Wmu_bd @ h   : (2*G, C)      heads channel-major: row c*G+g
+    ...every per-row elementwise op now runs on (8, C) / (16, C) tiles
+    at FULL sublane density...
+    dW accumulators keep the block layout; the true (out, in) grads are
+    the diagonal-block sums, extracted by one einsum outside the kernel.
+
+The block-diagonal matmuls do up to G x the MACs of the per-group ideal,
+but at K = G*features = 96 (vs 12) and M = G*H = 400 (vs 50) they tile
+the 128x128 MXU far better, and the VPU-bound elementwise chain — the
+measured bottleneck — gets the full 8x density win.  Measured v5e,
+default config (3.07M rows x 50 epochs): actor phase 127 -> 95 ms at
+G=8 (the packing moved the bound to the now-dilated f32 matmuls: the
+~95 ms matches their MAC count at MXU speed-of-light).  The CRITIC is
+matmul-bound from the start (its elementwise chain is short and its
+input width A*obs = 36 already tiles lanes 3x better), so packing only
+dilates its dominant cost: G=1 (no packing) measured fastest
+(32 / 38 / 41 ms at G = 1 / 2 / 4) and is the critic default.
 
 Gradient semantics replicate jax.value_and_grad of the XLA losses
 op-for-op, including JAX's balanced-tie rules (min/max ties propagate 0.5
@@ -30,15 +55,14 @@ actor objectives equal, a value inside the clip band makes both critic
 branches equal) and relu'(0) = 0.  No PRNG is involved, so interpret mode
 on CPU is fully functional (unlike the collect kernels).
 
-Staging (transposes + advantage pairing + padding) happens once per
-training phase — NOT per epoch — via ``stage_actor_minibatch`` /
-``stage_critic_minibatch``; the epoch loop then re-consumes the staged
-tensors.
+Staging (transposes + advantage pairing + group packing + padding)
+happens once per training phase — NOT per epoch — via
+``stage_actor_minibatch`` / ``stage_critic_minibatch``; the epoch loop
+then re-consumes the staged tensors.
 """
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import NamedTuple
 
@@ -51,37 +75,55 @@ from marlnav_tpu.config import MAPPOConfig
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
-BLK = 4096  # rows (lanes) per grid step; ~1MB VMEM at H=50 incl. temporaries
+import os
+
+# Row groups packed onto the 8 VPU sublanes.  The packing multiplies the
+# parameter-gradient matmul MACs by G (block-diagonal dilation) while
+# multiplying elementwise VPU density by G — the best G per kernel depends
+# on which side bounds it.  Measured v5e (default config): actor is
+# VPU-chain-bound -> G=8; critic is matmul-bound -> G=1 (no packing).
+# Env overrides for tuning: MARLNAV_ACTOR_G / MARLNAV_CRITIC_G.  The
+# stage_* / make_* functions also take an explicit ``g`` (kernel and
+# staging must agree) — used by make_mappo to cap G under the interpret-
+# mode simulator, where large-G multi-shard runs can deadlock (below).
+ACTOR_G = int(os.environ.get("MARLNAV_ACTOR_G", "8"))
+CRITIC_G = int(os.environ.get("MARLNAV_CRITIC_G", "1"))
+ROWS_PER_STEP = 8192  # G * columns per grid step
 
 
 def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-def _pick_blk(n_rows: int) -> int:
-    """Full BLK for big batches; one padded block for small (test) ones."""
-    return min(BLK, _round_up(max(n_rows, 1), 128))
+def _pick_cols(n_rows: int, g: int) -> tuple[int, int]:
+    """Total packed columns (multiple of the lane tile) and the per-grid-
+    step column block; a full ROWS_PER_STEP block for big batches, one
+    padded block for small (test) ones."""
+    c = _round_up(max(n_rows, 1), g * 128) // g
+    blk = min(ROWS_PER_STEP // g, c)
+    return _round_up(c, blk), blk
 
 
 class StagedActorBatch(NamedTuple):
-    """Feature-major actor minibatch (one row per (step, env, agent)).
-    Arrays only — the static real-row count travels separately so staged
-    batches can be stacked and scanned."""
+    """Sublane-packed actor minibatch (one row per (step, env, agent);
+    row r lives at group g = r // C, column j = r % C).  Arrays only —
+    the static real-row count travels separately so staged batches can be
+    stacked and scanned."""
 
-    obs: jax.Array  # (obs_size, N) f32
-    actions: jax.Array  # (2, N)
-    log_probs: jax.Array  # (1, N) behavior log-probs
-    adv: jax.Array  # (1, N) advantages (pairing quirk already applied)
-    mask: jax.Array  # (1, N) 1.0 for real rows, 0.0 for padding
+    obs: jax.Array  # (G*obs_size, C) group-major rows g*obs+f
+    actions: jax.Array  # (2*G, C) channel-major rows c*G+g
+    log_probs: jax.Array  # (G, C) behavior log-probs
+    adv: jax.Array  # (G, C) advantages (pairing quirk already applied)
+    mask: jax.Array  # (G, C) 1.0 for real rows, 0.0 for padding
 
 
 class StagedCriticBatch(NamedTuple):
-    """Feature-major critic minibatch (one row per (step, env))."""
+    """Sublane-packed critic minibatch (one row per (step, env))."""
 
-    obs: jax.Array  # (A*obs_size, N)
-    values: jax.Array  # (1, N) behavior values
-    returns: jax.Array  # (1, N)
-    mask: jax.Array  # (1, N)
+    obs: jax.Array  # (G*A*obs_size, C)
+    values: jax.Array  # (G, C) behavior values
+    returns: jax.Array  # (G, C)
+    mask: jax.Array  # (G, C)
 
 
 def _pair_rows(x: jax.Array, num_agents: int, faithful: bool) -> jax.Array:
@@ -94,37 +136,86 @@ def _pair_rows(x: jax.Array, num_agents: int, faithful: bool) -> jax.Array:
     return jnp.repeat(x, num_agents)
 
 
-def _pad_rows(x: jax.Array, n_pad: int) -> jax.Array:
-    return jnp.pad(x, ((0, 0), (0, n_pad - x.shape[1])))
+def _pack_group(x: jax.Array, c: int, g: int) -> jax.Array:
+    """(R, n) feature-major -> (G*R, c) with rows g*R+f: column j of
+    group g holds source row g*c + j."""
+    r = x.shape[0]
+    x = jnp.pad(x, ((0, 0), (0, g * c - x.shape[1])))
+    return x.reshape(r, g, c).transpose(1, 0, 2).reshape(g * r, c)
 
 
-def stage_actor_minibatch(mb, cfg: MAPPOConfig):
+def _pack_chan(x: jax.Array, c: int, g: int) -> jax.Array:
+    """(R, n) -> (R*G, c) with rows f*G+g (channel-major) — the head
+    layout, so per-channel slices are contiguous sublane runs."""
+    r = x.shape[0]
+    x = jnp.pad(x, ((0, 0), (0, g * c - x.shape[1])))
+    return x.reshape(r, g, c).reshape(r * g, c)
+
+
+def _pack_mask(n: int, c: int, g: int) -> jax.Array:
+    rows = jnp.arange(g, dtype=jnp.int32)[:, None] * c \
+        + jnp.arange(c, dtype=jnp.int32)[None, :]
+    return (rows < n).astype(jnp.float32)
+
+
+def _bd_group(wt: jax.Array, g: int) -> jax.Array:
+    """Transposed weight (out, in) -> block-diagonal (g*out, g*in) with
+    BOTH axes group-major — kron(I_g, wt)."""
+    out, inn = wt.shape
+    eye = jnp.eye(g, dtype=wt.dtype)
+    return (eye[:, None, :, None] * wt[None, :, None, :]).reshape(
+        g * out, g * inn)
+
+
+def _bd_chan(wt: jax.Array, g: int) -> jax.Array:
+    """Transposed weight (out, in) -> (out*g, g*in): rows channel-major
+    (c*g+grp), columns group-major — the head matmul against group-major
+    activations, emitting channel-major outputs."""
+    out, inn = wt.shape
+    eye = jnp.eye(g, dtype=wt.dtype)
+    return (wt[:, None, None, :] * eye[None, :, :, None]).reshape(
+        out * g, g * inn)
+
+
+def _unpack_w_group(dw: jax.Array, out: int, inn: int, g: int) -> jax.Array:
+    """(g*out, g*in) block accumulator -> true (out, in) grad: sum of the
+    diagonal blocks."""
+    return jnp.einsum("gkgf->kf", dw.reshape(g, out, g, inn))
+
+
+def _unpack_w_chan(dw: jax.Array, out: int, inn: int, g: int) -> jax.Array:
+    return jnp.einsum("cggk->ck", dw.reshape(out, g, g, inn))
+
+
+def stage_actor_minibatch(mb, cfg: MAPPOConfig, g: int | None = None):
     """Buffer minibatch (leaves (size, P, ...)) -> (kernel layout, n_rows).
 
     Shapes are inferred from the minibatch itself (not cfg.num_parallel),
     so the same staging serves a per-shard buffer slice under shard_map."""
     size, p, a = mb.obs.shape[0], mb.obs.shape[1], mb.obs.shape[2]
+    g = ACTOR_G if g is None else g
     n = size * p * a
-    n_pad = _round_up(n, _pick_blk(n))
-    obs = _pad_rows(mb.obs.reshape(n, cfg.obs_size).T, n_pad)
-    actions = _pad_rows(mb.actions.reshape(n, cfg.action_size).T, n_pad)
-    log_probs = _pad_rows(mb.log_probs.reshape(1, n), n_pad)
+    c, _ = _pick_cols(n, g)
+    obs = _pack_group(mb.obs.reshape(n, cfg.obs_size).T, c, g)
+    actions = _pack_chan(mb.actions.reshape(n, cfg.action_size).T, c, g)
+    log_probs = _pack_group(mb.log_probs.reshape(1, n), c, g)
     adv = (_pair_rows(mb.returns.reshape(size * p), a, cfg.faithful)
            - _pair_rows(mb.values.reshape(size * p), a, cfg.faithful))
-    adv = _pad_rows(adv.reshape(1, n), n_pad)
-    mask = (jnp.arange(n_pad, dtype=jnp.int32) < n).astype(jnp.float32)
-    return StagedActorBatch(obs, actions, log_probs, adv, mask[None]), n
+    adv = _pack_group(adv.reshape(1, n), c, g)
+    return StagedActorBatch(obs, actions, log_probs, adv,
+                            _pack_mask(n, c, g)), n
 
 
-def stage_critic_minibatch(mb, cfg: MAPPOConfig):
+def stage_critic_minibatch(mb, cfg: MAPPOConfig, g: int | None = None):
     size, p = mb.obs.shape[0], mb.obs.shape[1]
+    g = CRITIC_G if g is None else g
     n = size * p
-    n_pad = _round_up(n, _pick_blk(n))
-    obs = _pad_rows(mb.obs.reshape(n, cfg.num_agents * cfg.obs_size).T, n_pad)
-    values = _pad_rows(mb.values.reshape(1, n), n_pad)
-    returns = _pad_rows(mb.returns.reshape(1, n), n_pad)
-    mask = (jnp.arange(n_pad, dtype=jnp.int32) < n).astype(jnp.float32)
-    return StagedCriticBatch(obs, values, returns, mask[None]), n
+    c, _ = _pick_cols(n, g)
+    obs = _pack_group(
+        mb.obs.reshape(n, cfg.num_agents * cfg.obs_size).T, c, g)
+    values = _pack_group(mb.values.reshape(1, n), c, g)
+    returns = _pack_group(mb.returns.reshape(1, n), c, g)
+    return StagedCriticBatch(obs, values, returns, _pack_mask(n, c, g)), n
 
 
 def _balanced_sel(a: jax.Array, b: jax.Array):
@@ -144,7 +235,8 @@ def _dot(a: jax.Array, b: jax.Array, dims, dtype=None):
 
 
 def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
-                          psum_axis: str | None = None):
+                          psum_axis: str | None = None,
+                          g: int | None = None):
     """Build ``grad(params, staged, n_rows) -> (loss, ActorParams-grads)``
     — the fused equivalent of ``jax.value_and_grad(actor_loss)``
     (algo/mappo.py).
@@ -152,39 +244,38 @@ def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
     With ``psum_axis`` (inside shard_map) the kernel's loss/grad SUMS are
     all-reduced over that mesh axis before the 1/n_rows scaling, so
     ``n_rows`` must then be the GLOBAL row count — the data-parallel
-    gradient exactly as the XLA path would produce it."""
+    gradient exactly as the XLA path would produce it.  ``g`` must match
+    the staging G (default: module ACTOR_G)."""
     obs_size, eps, ent_c = cfg.obs_size, cfg.epsilon, cfg.ent_const
+    g = ACTOR_G if g is None else g
     dtype = jnp.bfloat16 if cfg.bf16_updates else None
 
     def kernel(obs_ref, act_ref, lp_ref, adv_ref, mask_ref,
-               w1t, b1, wmut, bmu, wvart, bvar,
+               w1bd, b1p, wmubd, bmup, wvarbd, bvarp,
                loss_out, dw1, db1, dwmu, dbmu, dwvar, dbvar):
-        h_size = w1t.shape[0]
-
         @pl.when(pl.program_id(0) == 0)
         def _():
             for o in (loss_out, dw1, db1, dwmu, dbmu, dwvar, dbvar):
                 o[:] = jnp.zeros_like(o)
 
-        x = obs_ref[:]  # (obs, BLK)
-        mask = mask_ref[:]  # (1, BLK)
+        x = obs_ref[:]  # (G*obs, C)
+        mask = mask_ref[:]  # (G, C)
 
         # ---- forward (models/networks.py actor_apply; no fc1 activation,
         # reference models.py:29) ----
-        h = _dot(w1t[:], x, ((1,), (0,)), dtype) + b1[:]  # (H, BLK)
-        u = _dot(wmut[:], h, ((1,), (0,)), dtype) + bmu[:]  # (2, BLK)
-        s = _dot(wvart[:], h, ((1,), (0,)), dtype) + bvar[:]
+        h = _dot(w1bd[:], x, ((1,), (0,)), dtype) + b1p[:]  # (G*H, C)
+        u = _dot(wmubd[:], h, ((1,), (0,)), dtype) + bmup[:]  # (2G, C)
+        s = _dot(wvarbd[:], h, ((1,), (0,)), dtype) + bvarp[:]
         mu = jnp.tanh(u)
         var = jax.nn.softplus(s)
 
-        diff = act_ref[:] - mu  # (2, BLK)
+        diff = act_ref[:] - mu  # (2G, C)
         inv_var = 1.0 / var
         log_var = jnp.log(var)
-        lp_new = -0.5 * (2.0 * _LOG_2PI
-                         + jnp.sum(log_var + diff * diff * inv_var,
-                                   axis=0, keepdims=True))  # (1, BLK)
-        ent = (1.0 + _LOG_2PI) + 0.5 * jnp.sum(log_var, axis=0,
-                                               keepdims=True)
+        zz = diff * diff * inv_var
+        lv_sum = log_var[:g] + log_var[g:]  # (g, C): both action dims
+        lp_new = -0.5 * (2.0 * _LOG_2PI + lv_sum + zz[:g] + zz[g:])
+        ent = (1.0 + _LOG_2PI) + 0.5 * lv_sum
 
         adv = adv_ref[:]
         ratio = jnp.exp(lp_new - lp_ref[:])
@@ -194,7 +285,7 @@ def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
         obj = jnp.minimum(o1, o2)
 
         loss_rows = -(obj + ent_c * ent) * mask
-        loss_out[:] += jnp.sum(loss_rows, axis=1, keepdims=True)
+        loss_out[:] += jnp.sum(loss_rows, axis=(0, 1), keepdims=True)
 
         # ---- backward (mirrors jax.value_and_grad of actor_loss,
         # including balanced tie weights and clip-boundary halves) ----
@@ -209,33 +300,36 @@ def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
         dclip = inside + 0.5 * on_edge
         g_obj = -mask  # d loss_row / d obj (row sums; /N outside)
         g_ratio = g_obj * adv * (w_o1 + w_o2 * dclip)
-        g_lp = g_ratio * ratio  # (1, BLK)
+        g_lp = g_ratio * ratio  # (G, C)
 
-        g_mu = g_lp * diff * inv_var  # (2, BLK)
-        g_var = (g_lp * 0.5 * (diff * diff * inv_var - 1.0) * inv_var
-                 - (ent_c * 0.5) * mask * inv_var)
+        g_lp2 = jnp.concatenate([g_lp, g_lp], axis=0)  # (2g, C)
+        mask2 = jnp.concatenate([mask, mask], axis=0)
+        g_mu = g_lp2 * diff * inv_var  # (2G, C)
+        g_var = (g_lp2 * 0.5 * (zz - 1.0) * inv_var
+                 - (ent_c * 0.5) * mask2 * inv_var)
         g_u = g_mu * (1.0 - mu * mu)
         g_s = g_var * jax.nn.sigmoid(s)
 
-        g_h = (_dot(wmut[:], g_u, ((0,), (0,)), dtype)
-               + _dot(wvart[:], g_s, ((0,), (0,)), dtype))  # (H, BLK)
+        g_h = (_dot(wmubd[:], g_u, ((0,), (0,)), dtype)
+               + _dot(wvarbd[:], g_s, ((0,), (0,)), dtype))  # (G*H, C)
 
-        dwmu[:] += _dot(g_u, h, ((1,), (1,)), dtype)  # (2, H)
+        dwmu[:] += _dot(g_u, h, ((1,), (1,)), dtype)  # (2G, G*H)
         dbmu[:] += jnp.sum(g_u, axis=1, keepdims=True)
         dwvar[:] += _dot(g_s, h, ((1,), (1,)), dtype)
         dbvar[:] += jnp.sum(g_s, axis=1, keepdims=True)
-        dw1[:] += _dot(g_h, x, ((1,), (1,)), dtype)  # (H, obs)
+        dw1[:] += _dot(g_h, x, ((1,), (1,)), dtype)  # (G*H, G*obs)
         db1[:] += jnp.sum(g_h, axis=1, keepdims=True)
 
     def grad(params, staged: StagedActorBatch, n_rows: int):
         from marlnav_tpu.models.networks import ActorParams, Dense
 
         h_size = params.fc1.w.shape[1]
-        n_pad = staged.obs.shape[1]
-        blk = min(BLK, n_pad)
-        grid = (n_pad // blk,)
+        c = staged.obs.shape[1]
+        blk = min(ROWS_PER_STEP // g, c)
+        grid = (c // blk,)
+        gh, go = g * h_size, g * obs_size
 
-        def row_spec(rows_dim):
+        def col_spec(rows_dim):
             return pl.BlockSpec((rows_dim, blk), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
 
@@ -246,31 +340,37 @@ def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[row_spec(obs_size), row_spec(2), row_spec(1),
-                      row_spec(1), row_spec(1),
-                      full((h_size, obs_size)), full((h_size, 1)),
-                      full((2, h_size)), full((2, 1)),
-                      full((2, h_size)), full((2, 1))],
+            in_specs=[col_spec(go), col_spec(2 * g), col_spec(g),
+                      col_spec(g), col_spec(g),
+                      full((gh, go)), full((gh, 1)),
+                      full((2 * g, gh)), full((2 * g, 1)),
+                      full((2 * g, gh)), full((2 * g, 1))],
             out_specs=[full((1, 1)),
-                       full((h_size, obs_size)), full((h_size, 1)),
-                       full((2, h_size)), full((2, 1)),
-                       full((2, h_size)), full((2, 1))],
+                       full((gh, go)), full((gh, 1)),
+                       full((2 * g, gh)), full((2 * g, 1)),
+                       full((2 * g, gh)), full((2 * g, 1))],
             out_shape=[jax.ShapeDtypeStruct(sh, jnp.float32) for sh in
-                       ((1, 1), (h_size, obs_size), (h_size, 1),
-                        (2, h_size), (2, 1), (2, h_size), (2, 1))],
+                       ((1, 1), (gh, go), (gh, 1),
+                        (2 * g, gh), (2 * g, 1), (2 * g, gh), (2 * g, 1))],
             interpret=pltpu.InterpretParams() if interpret else False,
         )(
             staged.obs, staged.actions, staged.log_probs, staged.adv,
             staged.mask,
-            params.fc1.w.T, params.fc1.b[:, None],
-            params.fc_mu.w.T, params.fc_mu.b[:, None],
-            params.fc_var.w.T, params.fc_var.b[:, None],
+            _bd_group(params.fc1.w.T, g),
+            jnp.tile(params.fc1.b, g)[:, None],
+            _bd_chan(params.fc_mu.w.T, g),
+            jnp.repeat(params.fc_mu.b, g)[:, None],
+            _bd_chan(params.fc_var.w.T, g),
+            jnp.repeat(params.fc_var.b, g)[:, None],
         )
         loss, dw1, db1, dwmu, dbmu, dwvar, dbvar = outs
         sums = (loss[0, 0], ActorParams(
-            fc1=Dense(dw1.T, db1[:, 0]),
-            fc_mu=Dense(dwmu.T, dbmu[:, 0]),
-            fc_var=Dense(dwvar.T, dbvar[:, 0]),
+            fc1=Dense(_unpack_w_group(dw1, h_size, obs_size, g).T,
+                      jnp.sum(db1.reshape(g, h_size), axis=0)),
+            fc_mu=Dense(_unpack_w_chan(dwmu, 2, h_size, g).T,
+                        jnp.sum(dbmu.reshape(2, g), axis=1)),
+            fc_var=Dense(_unpack_w_chan(dwvar, 2, h_size, g).T,
+                         jnp.sum(dbvar.reshape(2, g), axis=1)),
         ))
         if psum_axis is not None:
             sums = jax.lax.psum(sums, psum_axis)
@@ -282,29 +382,31 @@ def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
 
 
 def make_fused_critic_grad(cfg: MAPPOConfig, interpret: bool = False,
-                           psum_axis: str | None = None):
+                           psum_axis: str | None = None,
+                           g: int | None = None):
     """Build ``grad(params, staged, n_rows) -> (loss, CriticParams-grads)``
     — the fused equivalent of ``jax.value_and_grad(critic_loss)``
     (algo/mappo.py; clipped-value loss, reference models.py:301-316).
-    ``psum_axis`` as in ``make_fused_actor_grad``."""
+    ``psum_axis`` / ``g`` as in ``make_fused_actor_grad``."""
     in_size = cfg.num_agents * cfg.obs_size
     eps = cfg.epsilon
+    g = CRITIC_G if g is None else g
     dtype = jnp.bfloat16 if cfg.bf16_updates else None
 
     def kernel(obs_ref, vold_ref, ret_ref, mask_ref,
-               w1t, b1, w2t, b2,
+               w1bd, b1p, w2bd, b2p,
                loss_out, dw1, db1, dw2, db2):
         @pl.when(pl.program_id(0) == 0)
         def _():
             for o in (loss_out, dw1, db1, dw2, db2):
                 o[:] = jnp.zeros_like(o)
 
-        x = obs_ref[:]  # (A*obs, BLK)
-        mask = mask_ref[:]
+        x = obs_ref[:]  # (G*A*obs, C)
+        mask = mask_ref[:]  # (G, C)
 
-        pre = _dot(w1t[:], x, ((1,), (0,)), dtype) + b1[:]  # (H, BLK)
+        pre = _dot(w1bd[:], x, ((1,), (0,)), dtype) + b1p[:]  # (G*H, C)
         h = jnp.maximum(pre, 0.0)
-        v = _dot(w2t[:], h, ((1,), (0,)), dtype) + b2[:]  # (1, BLK)
+        v = _dot(w2bd[:], h, ((1,), (0,)), dtype) + b2p[:]  # (G, C)
 
         ret = ret_ref[:]
         vold = vold_ref[:]
@@ -315,7 +417,7 @@ def make_fused_critic_grad(cfg: MAPPOConfig, interpret: bool = False,
         d1 = e1 * e1
         d2 = e2 * e2
         loss_out[:] += jnp.sum(jnp.maximum(d1, d2) * mask,
-                               axis=1, keepdims=True)
+                               axis=(0, 1), keepdims=True)
 
         # max ties balanced; d clamp/d v with boundary halves as in clip.
         w_d2, w_d1 = _balanced_sel(d1, d2)  # max: weight on larger
@@ -324,25 +426,28 @@ def make_fused_critic_grad(cfg: MAPPOConfig, interpret: bool = False,
         on_edge = ((v == lo).astype(jnp.float32)
                    + (v == hi).astype(jnp.float32))
         dclamp = inside + 0.5 * on_edge
-        g_v = mask * 2.0 * (w_d1 * e1 + w_d2 * e2 * dclamp)  # (1, BLK)
+        g_v = mask * 2.0 * (w_d1 * e1 + w_d2 * e2 * dclamp)  # (G, C)
 
-        g_h = _dot(w2t[:], g_v, ((0,), (0,)), dtype)  # (H, BLK)
-        g_pre = g_h * (pre > 0.0).astype(jnp.float32)  # relu'(0) = 0
+        g_h = _dot(w2bd[:], g_v, ((0,), (0,)), dtype)  # (G*H, C)
+        # (h > 0) == (pre > 0) exactly for relu, so pre need not be kept
+        # live across the dw2 matmul.
+        g_pre = g_h * (h > 0.0).astype(jnp.float32)  # relu'(0) = 0
 
-        dw2[:] += _dot(g_v, h, ((1,), (1,)), dtype)  # (1, H)
+        dw2[:] += _dot(g_v, h, ((1,), (1,)), dtype)  # (G, G*H)
         db2[:] += jnp.sum(g_v, axis=1, keepdims=True)
-        dw1[:] += _dot(g_pre, x, ((1,), (1,)), dtype)  # (H, A*obs)
+        dw1[:] += _dot(g_pre, x, ((1,), (1,)), dtype)  # (G*H, G*A*obs)
         db1[:] += jnp.sum(g_pre, axis=1, keepdims=True)
 
     def grad(params, staged: StagedCriticBatch, n_rows: int):
         from marlnav_tpu.models.networks import CriticParams, Dense
 
         h_size = params.fc1.w.shape[1]
-        n_pad = staged.obs.shape[1]
-        blk = min(BLK, n_pad)
-        grid = (n_pad // blk,)
+        c = staged.obs.shape[1]
+        blk = min(ROWS_PER_STEP // g, c)
+        grid = (c // blk,)
+        gh, gi = g * h_size, g * in_size
 
-        def row_spec(rows_dim):
+        def col_spec(rows_dim):
             return pl.BlockSpec((rows_dim, blk), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)
 
@@ -353,26 +458,28 @@ def make_fused_critic_grad(cfg: MAPPOConfig, interpret: bool = False,
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[row_spec(in_size), row_spec(1), row_spec(1),
-                      row_spec(1),
-                      full((h_size, in_size)), full((h_size, 1)),
-                      full((1, h_size)), full((1, 1))],
+            in_specs=[col_spec(gi), col_spec(g), col_spec(g), col_spec(g),
+                      full((gh, gi)), full((gh, 1)),
+                      full((g, gh)), full((g, 1))],
             out_specs=[full((1, 1)),
-                       full((h_size, in_size)), full((h_size, 1)),
-                       full((1, h_size)), full((1, 1))],
+                       full((gh, gi)), full((gh, 1)),
+                       full((g, gh)), full((g, 1))],
             out_shape=[jax.ShapeDtypeStruct(sh, jnp.float32) for sh in
-                       ((1, 1), (h_size, in_size), (h_size, 1),
-                        (1, h_size), (1, 1))],
+                       ((1, 1), (gh, gi), (gh, 1), (g, gh), (g, 1))],
             interpret=pltpu.InterpretParams() if interpret else False,
         )(
             staged.obs, staged.values, staged.returns, staged.mask,
-            params.fc1.w.T, params.fc1.b[:, None],
-            params.fc2.w.T, params.fc2.b[:, None],
+            _bd_group(params.fc1.w.T, g),
+            jnp.tile(params.fc1.b, g)[:, None],
+            _bd_chan(params.fc2.w.T, g),
+            jnp.tile(params.fc2.b, g)[:, None],
         )
         loss, dw1, db1, dw2, db2 = outs
         sums = (loss[0, 0], CriticParams(
-            fc1=Dense(dw1.T, db1[:, 0]),
-            fc2=Dense(dw2.T, db2[:, 0]),
+            fc1=Dense(_unpack_w_group(dw1, h_size, in_size, g).T,
+                      jnp.sum(db1.reshape(g, h_size), axis=0)),
+            fc2=Dense(_unpack_w_chan(dw2, 1, h_size, g).T,
+                      jnp.sum(db2.reshape(1, g), axis=1)),
         ))
         if psum_axis is not None:
             sums = jax.lax.psum(sums, psum_axis)

@@ -9,16 +9,21 @@ At >10M trained env-steps/s a factor grid costs minutes, not weeks
 (round-1 verdict item 8).
 
 Each cell trains the GAE-config trainer (2048 envs, buffer 200, 10+10
-epochs, lr 3e-4, gamma 0.99, staggered resets, corrected semantics,
-fused collect + fused updates) for --repeats rollouts, then scores the
-last quarter of training by episode endings: target-group reaches vs
-collisions vs truncations.
+epochs, lr 3e-4, gamma 0.99, epsilon 0.2, staggered resets, corrected
+semantics, fused collect + fused updates) for --repeats rollouts, then
+scores the last quarter of training by episode endings: target-group
+reaches vs collisions vs truncations.
 
-Compile note: per-cell recompiles are only the Mosaic kernels (seconds) —
-reward factors are baked into the collect kernel, ent_const into the
-actor-update kernel; the XLA glue programs hit the persistent cache
-across cells.  Avoid --jit-repeats here: the blocked mega-scan costs
-minutes of XLA compile PER CELL.
+NB epsilon 0.2, NOT the reference's default 0.01: at 0.01 the PPO clip is
+so tight that mean return stays flat for hundreds of rollouts on every
+path (XLA and fused alike — verified in round 2).
+
+Dispatch note: cells run through --jit-repeats blocks — per-repeat
+dispatch costs ~4 tunnel round trips (a 300-repeat cell took ~25 min
+that way); the blocked program pays one compile per distinct cell config
+(reward factors are baked into the collect kernel, epsilon/ent_const
+into the update kernels) and then runs the whole cell in seconds, with
+the unchanged XLA glue hitting the persistent compile cache.
 
 Usage: python scripts/sweep.py [--repeats 300] [--out docs/sweep_r2]
 """
@@ -39,7 +44,8 @@ sys.path.insert(0, REPO)
 import numpy as np
 
 
-def run_cell(risk, heading, ent, soft, repeats, seed=13):
+def run_cell(risk, heading, ent, soft, repeats, seed=13, jit_repeats=50,
+             target=500.0):
     from marlnav_tpu.__main__ import build_parser
     from marlnav_tpu.config import resolve_run_config
     from marlnav_tpu.train import train
@@ -48,9 +54,10 @@ def run_cell(risk, heading, ent, soft, repeats, seed=13):
     args = build_parser().parse_args([
         "-np", "2048", "-bl", "200", "-bs", "200", "-ne", "10",
         "-nt", str(num_total), "-lr", "0.0003", "-g", "0.99",
+        "-ep", "0.2",
         "-se", str(seed),
         "-rf", str(risk), "-hf", str(heading), "-ec", str(ent),
-        "-sf", str(soft),
+        "-sf", str(soft), "-tf", str(target),
         "--use-gae", "--fixed-semantics", "--staggered-resets",
         "--fused-collect", "--fused-updates",
     ])
@@ -60,7 +67,12 @@ def run_cell(risk, heading, ent, soft, repeats, seed=13):
         os.chdir(tmp)
         try:
             t0 = time.perf_counter()
-            _, _, logger = train(cfg, verbose=False)
+            # jit_repeats: per-repeat dispatch costs ~4 tunnel round trips
+            # per repeat on the remote link (~25 min/cell measured); one
+            # blocked program costs one big compile (~6 min) and then runs
+            # the whole cell in seconds.
+            _, _, logger = train(cfg, verbose=False,
+                                 jit_repeats=jit_repeats)
             dt = time.perf_counter() - t0
         finally:
             os.chdir(cwd)
@@ -88,17 +100,51 @@ def main():
     ap.add_argument("--repeats", type=int, default=300)
     ap.add_argument("--out", type=str, default="docs/sweep_r2")
     ap.add_argument("--grid", type=str, default="main",
-                    choices=["main", "quick"])
+                    choices=["main", "quick", "target"])
     ns = ap.parse_args()
 
     if ns.grid == "quick":
         grid = [(0.0, 500.0, 1e-3, 500.0), (250.0, 500.0, 1e-3, 500.0)]
     else:
-        risks = [0.0, 100.0, 250.0, 500.0]
-        headings = [500.0, 100.0]
-        ents = [1e-3, 1e-2]
-        grid = [(r, h, e, 500.0)
-                for r, h, e in itertools.product(risks, headings, ents)]
+        # Risk axis (the collision-penalty lever) crossed with the default
+        # shaping, plus targeted variants: weaker heading shaping (less
+        # incentive to race) and more exploration at the promising risk.
+        grid = [
+            (0.0, 500.0, 1e-3, 500.0),    # baseline (reference defaults)
+            (100.0, 500.0, 1e-3, 500.0),
+            (250.0, 500.0, 1e-3, 500.0),
+            (500.0, 500.0, 1e-3, 500.0),
+            (1000.0, 500.0, 1e-3, 500.0),
+            (250.0, 100.0, 1e-3, 500.0),
+            (500.0, 100.0, 1e-3, 500.0),
+            (250.0, 500.0, 1e-2, 500.0),
+        ]
+    if ns.grid == "target":
+        # Round-2 finding: every risk level still ends 100% of episodes in
+        # collisions — the per-step penalty gets priced into the race, not
+        # avoided.  The group-target bonus fires ONCE (500) vs heading
+        # shaping's 500/step x 200 steps; these cells make reaching the
+        # target the dominant term.  (risk, heading, ent, soft, target)
+        grid5 = [
+            (250.0, 500.0, 1e-3, 500.0, 50_000.0),
+            (0.0, 500.0, 1e-3, 500.0, 50_000.0),
+            (250.0, 100.0, 1e-3, 100.0, 50_000.0),
+            (500.0, 500.0, 1e-2, 500.0, 200_000.0),
+        ]
+        rows = []
+        for i, (r, h, e, so, tf) in enumerate(grid5):
+            print(f"[{i + 1}/{len(grid5)}] risk={r} heading={h} ent={e} "
+                  f"soft={so} target={tf} ...", flush=True)
+            cell = run_cell(r, h, e, so, ns.repeats, target=tf)
+            cell["target_factor"] = tf
+            rows.append(cell)
+            print(json.dumps(cell), flush=True)
+        rows.sort(key=lambda c: -c["tar_share"])
+        os.makedirs(os.path.dirname(ns.out) or ".", exist_ok=True)
+        with open(ns.out + ".json", "w") as f:
+            json.dump({"repeats": ns.repeats, "cells": rows}, f, indent=2)
+        print("wrote", ns.out + ".json", flush=True)
+        return
 
     rows = []
     for i, (r, h, e, s) in enumerate(grid):

@@ -53,6 +53,30 @@ def host_noise(key, num_steps):
                               jnp.float32)
 
 
+def tame_policy(ts):
+    """Shrink the policy so no env can finish inside a test window.
+
+    A random-weight actor emits means up to +-1 (+-pi steering) and std
+    ~0.8 actions; over more than a few steps some pair of agents collides,
+    consuming reset draws and breaking any no-reset premise — and the
+    trajectories are chaotic, so a 1-ulp numeric change anywhere flips
+    which env collides.  Scaling the mean head small and biasing the
+    variance head far negative keeps every trajectory near-straight
+    (agents start 40 apart heading +x) while still exercising the full
+    actor/sampling/geometry math."""
+    actor = ts.actor
+    # mu scale 1e-3 -> <= ~0.004 rad of deterministic steering per step
+    # (1e-2 was not enough: per-agent curvature differences of ~0.025
+    # rad/step steadily converged one agent pair to collision by step 17);
+    # var bias -20 -> std ~5e-5, negligible heading random walk.
+    actor = actor._replace(
+        fc_mu=actor.fc_mu._replace(w=actor.fc_mu.w * 1e-3,
+                                   b=actor.fc_mu.b * 1e-3),
+        fc_var=actor.fc_var._replace(b=actor.fc_var.b - 20.0),
+    )
+    return ts._replace(actor=actor)
+
+
 def noise_per_env(noise):
     """(T, k, 8, nb*128) tile layout -> (T, k, P), same env mapping as
     fused_rollout.untile."""
@@ -104,12 +128,7 @@ def test_buffer_parity_vs_xla_mirror(t):
     cfg, ep, icfg, env, mappo, collect = build(t)
     ts, s0 = mappo.init(jax.random.PRNGKey(0))
     if t > 8:
-        # Over longer windows a random-weight policy's action variance
-        # (softplus(~0) -> std ~0.8) can produce agent collisions, which
-        # consume reset draws and break the no-reset premise; bias the
-        # variance head far negative so trajectories stay near-straight.
-        tame = ts.actor.fc_var._replace(b=ts.actor.fc_var.b - 8.0)
-        ts = ts._replace(actor=ts.actor._replace(fc_var=tame))
+        ts = tame_policy(ts)
     noise = host_noise(jax.random.PRNGKey(5), t)
 
     rows2, buf, metrics = collect(ts, env_state_to_rows(s0), 7, noise=noise)
@@ -166,11 +185,7 @@ def test_buffer_parity_noisy_init():
                                  ScalerConfig(), interpret=True,
                                  noise_input=True)
     ts, s0 = mappo.init(jax.random.PRNGKey(0))
-    # Tame the action variance so no env finishes within the window (see
-    # test_buffer_parity_vs_xla_mirror) — noisy starts + wide action noise
-    # otherwise produce occasional agent collisions.
-    tame = ts.actor.fc_var._replace(b=ts.actor.fc_var.b - 8.0)
-    ts = ts._replace(actor=ts.actor._replace(fc_var=tame))
+    ts = tame_policy(ts)  # no env may finish within the window
     n_draws = 2 * A + 2 * O + 3 * A
     noise = jax.random.uniform(jax.random.PRNGKey(5),
                                (t, n_draws, 8, P // 8), jnp.float32)
