@@ -88,7 +88,9 @@ import os
 # mode simulator, where large-G multi-shard runs can deadlock (below).
 ACTOR_G = int(os.environ.get("MARLNAV_ACTOR_G", "8"))
 CRITIC_G = int(os.environ.get("MARLNAV_CRITIC_G", "1"))
-ROWS_PER_STEP = 8192  # G * columns per grid step
+ROWS_PER_STEP = int(os.environ.get("MARLNAV_UPDATE_ROWS_PER_STEP", "8192"))
+# ^ G * columns per grid step (VMEM budget: the (G*H, cols) h / g_h
+# intermediates dominate; 8192 measured best on v5e — 16384 regresses)
 
 
 def _round_up(n: int, m: int) -> int:

@@ -16,7 +16,11 @@ and a scalar fetch, never on large arrays.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +70,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--batch", type=int, default=1000)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--variants", type=str, default="all",
+                    help="comma list of fp32,bf16,fused,fused+bf16 "
+                         "(XLA variants cost minutes of tunnel compile)")
     args = ap.parse_args()
 
     print("device:", jax.devices()[0].platform, jax.devices()[0].device_kind)
@@ -76,6 +83,9 @@ def main():
     variants = [("fp32", {}), ("bf16", {"bf16_updates": True}),
                 ("fused", {"fused_updates": True}),
                 ("fused+bf16", {"fused_updates": True, "bf16_updates": True})]
+    if args.variants != "all":
+        want = set(args.variants.split(","))
+        variants = [v for v in variants if v[0] in want]
     for tag, kw in variants:
         cfg = MAPPOConfig(
             num_parallel=p, buffer_len=t, batch_size=args.batch,
@@ -91,11 +101,13 @@ def main():
                   args.iters)
         results[tag] = (a, c)
 
-    a32, c32 = results["fp32"]
-    for tag in ("bf16", "fused", "fused+bf16"):
-        a, c = results[tag]
-        print(f"{tag}: actor {a32 / a:.2f}x, critic {c32 / c:.2f}x, "
-              f"phase total {(a32 + c32) / (a + c):.2f}x")
+    if "fp32" in results:
+        a32, c32 = results["fp32"]
+        for tag, (a, c) in results.items():
+            if tag == "fp32":
+                continue
+            print(f"{tag}: actor {a32 / a:.2f}x, critic {c32 / c:.2f}x, "
+                  f"phase total {(a32 + c32) / (a + c):.2f}x")
 
 
 if __name__ == "__main__":
