@@ -269,7 +269,14 @@ def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
         u = _dot(wmubd[:], h, ((1,), (0,)), dtype) + bmup[:]  # (2G, C)
         s = _dot(wvarbd[:], h, ((1,), (0,)), dtype) + bvarp[:]
         mu = jnp.tanh(u)
-        var = jax.nn.softplus(s)
+        # softplus and its derivative sigmoid(s) (used in the backward
+        # pass) share ONE exp via the overflow-safe formulation:
+        # softplus(s) = max(s,0) + log1p(e), sigmoid(s) = {1, e}/(1+e)
+        # for s {>=, <} 0, with e = exp(-|s|).  Equal to jax.nn.softplus /
+        # the logistic to f32 ulps; saves a transcendental per element on
+        # the hot (2G, C) tiles.
+        e_s = jnp.exp(-jnp.abs(s))
+        var = jnp.maximum(s, 0.0) + jnp.log1p(e_s)
 
         diff = act_ref[:] - mu  # (2G, C)
         inv_var = 1.0 / var
@@ -310,7 +317,8 @@ def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
         g_var = (g_lp2 * 0.5 * (zz - 1.0) * inv_var
                  - (ent_c * 0.5) * mask2 * inv_var)
         g_u = g_mu * (1.0 - mu * mu)
-        g_s = g_var * jax.nn.sigmoid(s)
+        r_e = 1.0 / (1.0 + e_s)
+        g_s = g_var * jnp.where(s >= 0.0, r_e, e_s * r_e)
 
         g_h = (_dot(wmubd[:], g_u, ((0,), (0,)), dtype)
                + _dot(wvarbd[:], g_s, ((0,), (0,)), dtype))  # (G*H, C)
