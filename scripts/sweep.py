@@ -71,8 +71,13 @@ def run_cell(risk, heading, ent, soft, repeats, seed=13, jit_repeats=50,
             # per repeat on the remote link (~25 min/cell measured); one
             # blocked program costs one big compile (~6 min) and then runs
             # the whole cell in seconds.
+            # fused_collect is a train() parameter (not part of cfg) —
+            # forward it explicitly or the --fused-collect flag above is
+            # silently ignored and cells run the (slower, jax.random-
+            # stream) XLA collect.
             _, _, logger = train(cfg, verbose=False,
-                                 jit_repeats=jit_repeats)
+                                 jit_repeats=jit_repeats,
+                                 fused_collect=True)
             dt = time.perf_counter() - t0
         finally:
             os.chdir(cwd)
