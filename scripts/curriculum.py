@@ -1,0 +1,232 @@
+"""Obstacle-corridor curriculum: staged geometry, one continuing policy.
+
+Round-2 sweep finding (docs/sweep_r2.md): at the reference geometry every
+episode ends in a collision for every reward setting tried — the obstacle
+box (x 500-1000, y 250-500, collision radius 50) straddles the straight
+path from the spawn triangle (150, 375) to the target (1350, 375), the
+heading-shaped race never learns avoidance, and the group target bonus
+never fires even scaled 400x.  Per-magnitude reward shaping cannot fix a
+sparse-exploration problem; a curriculum might.
+
+This script tests that hypothesis: train with the obstacle box parked
+BELOW the flight corridor first (the task reduces to formation flight,
+which the group bonus CAN reinforce), then slide the box up into the
+reference position over stages, continuing from the same policy.  An
+alternative --mode radius shrinks an enlarged target disk instead.
+
+TPU-cost note: the obstacle-box bounds / target radius are constants
+baked into the fused collect kernel, so each stage recompiles ONLY the
+Mosaic kernel (seconds); the PPO update-phase programs are
+stage-invariant and compile once.  Repeats dispatch per-rollout (3
+dispatches each) — at GAE-config sizes the tunnel latency prices a
+repeat at ~0.1-0.3 s, fine for a few hundred repeats per stage.
+
+A fixed radius schedule (--mode radius) loses the reach signal when a
+step is too steep (300 -> 150 collapses it), so --mode radius-adaptive
+anneals instead: shrink the radius 15% only while the group-reach share
+of episode endings holds above 2% over the last quarter of a stage,
+otherwise retrain at the same radius (up to --max-stages total).
+
+Usage: python scripts/curriculum.py [--repeats-per-stage 300]
+       [--mode obstacles|radius|radius-adaptive|none]
+       [--out docs/curriculum_r2]
+(--mode none = reference geometry throughout: the no-curriculum control.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from marlnav_tpu.algo import make_mappo
+from marlnav_tpu.config import (
+    EnvParams,
+    MAPPOConfig,
+    NormalizerConfig,
+    ScalerConfig,
+    TriangleInitConfig,
+)
+from marlnav_tpu.env import make_env
+from marlnav_tpu.ops import env_state_to_rows, make_fused_collect
+
+P, T = 2048, 200
+
+
+def build_cfg():
+    """The sweep's best-learning cell: risk 250, defaults otherwise
+    (docs/sweep_r2.md), GAE + corrected semantics + wide clip."""
+    return MAPPOConfig(
+        num_parallel=P, buffer_len=T, batch_size=T, num_epochs=10,
+        num_total=T * P, lr=3e-4, gamma=0.99, epsilon=0.2,
+        use_gae=True, faithful=False, fused_updates=True,
+    )
+
+
+def stage_geometry(mode):
+    """Per-stage (label, env-param overrides, init-config overrides)."""
+    if mode == "obstacles":
+        # Slide the obstacle box from below the corridor (y 40-160; the
+        # flight path runs at y~375 and ob_risk_dist is 60, so stage 1 is
+        # collision-free for a straight formation) up to the reference
+        # position (250-500).
+        return [
+            ("box y 40-160", {}, {"obst_min_y": 40.0, "obst_max_y": 160.0}),
+            ("box y 150-330", {}, {"obst_min_y": 150.0, "obst_max_y": 330.0}),
+            ("box y 200-420", {}, {"obst_min_y": 200.0, "obst_max_y": 420.0}),
+            ("box y 250-500 (reference)", {}, {}),
+        ]
+    if mode == "radius":
+        # Shrink an enlarged target disk to the reference 30.  Stage 1's
+        # radius 150 admits the converging straight-line race (agents are
+        # ~>5 apart until ~150 from the target center).
+        return [
+            ("target radius 150", {"target_radius": 150.0}, {}),
+            ("target radius 90", {"target_radius": 90.0}, {}),
+            ("target radius 50", {"target_radius": 50.0}, {}),
+            ("target radius 30 (reference)", {}, {}),
+        ]
+    return [("reference geometry (control)", {}, {})]
+
+
+def run_adaptive(ns):
+    """Adaptive target-radius annealing (the setup behind
+    docs/curriculum_r2_radius_adaptive.json): 4096 envs, 500k group
+    bonus, entropy 1e-2; shrink the radius 15% only while the
+    group-reach share of the stage's last quarter exceeds 2%."""
+    P_, T_ = 4096, 200
+    icfg = TriangleInitConfig(num_parallel=P_, num_obstacles=3)
+    cfg = MAPPOConfig(num_parallel=P_, buffer_len=T_, batch_size=T_,
+                      num_epochs=10, num_total=T_ * P_, lr=3e-4,
+                      gamma=0.99, epsilon=0.2, ent_const=1e-2,
+                      use_gae=True, faithful=False, fused_updates=True)
+    base_seed = (ns.seed * 1_000_003) % (1 << 30)
+    ts = rows = None
+    gr = 0
+    radius, stage, history = 300.0, 0, []
+    while radius >= 30.0 and stage < ns.max_stages:
+        stage += 1
+        ep = EnvParams(num_parallel=P_, risk_factor=ns.risk,
+                       target_factor=500_000.0, target_radius=radius,
+                       staggered_resets=True)
+        mappo = make_mappo(cfg, make_env(ep, icfg, None),
+                           NormalizerConfig(), ScalerConfig())
+        fc = jax.jit(make_fused_collect(cfg, ep, icfg, NormalizerConfig(),
+                                        ScalerConfig()))
+        ta, tc = jax.jit(mappo.train_actor), jax.jit(mappo.train_critic)
+        if ts is None:
+            ts, es = mappo.init(jax.random.PRNGKey(ns.seed))
+            rows = env_state_to_rows(es)
+        n = ns.repeats_per_stage
+        tar = col = trunc = 0
+        t0 = time.perf_counter()
+        for r in range(n):
+            rows, buf, met = fc(ts, rows, base_seed + gr)
+            ts, _ = ta(ts, buf)
+            ts, _ = tc(ts, buf)
+            gr += 1
+            if r >= n - n // 4:
+                tar += int(met.stats.num_tar)
+                col += int(met.stats.num_col)
+                trunc += int(met.stats.num_trunc)
+        endings = tar + col + trunc
+        share = tar / endings if endings else 0.0
+        rec = {"stage": stage, "radius": radius, "tar": tar,
+               "tar_share": round(share, 4), "col": col, "trunc": trunc,
+               "seconds": round(time.perf_counter() - t0, 1)}
+        history.append(rec)
+        print(json.dumps(rec), flush=True)
+        if share > 0.02:
+            radius = round(radius * 0.85)
+    os.makedirs(os.path.dirname(ns.out) or ".", exist_ok=True)
+    path = f"{ns.out}_radius_adaptive.json"
+    with open(path, "w") as f:
+        json.dump(history, f, indent=2)
+    print("wrote", path, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats-per-stage", type=int, default=300)
+    ap.add_argument("--mode", type=str, default="obstacles",
+                    choices=["obstacles", "radius", "radius-adaptive",
+                             "none"])
+    ap.add_argument("--risk", type=float, default=250.0)
+    ap.add_argument("--seed", type=int, default=17)
+    ap.add_argument("--max-stages", type=int, default=14,
+                    help="radius-adaptive: total stage budget")
+    ap.add_argument("--out", type=str, default="docs/curriculum_r2")
+    ns = ap.parse_args()
+
+    if ns.mode == "radius-adaptive":
+        run_adaptive(ns)
+        return
+
+    cfg = build_cfg()
+    base_seed = (ns.seed * 1_000_003) % (1 << 30)
+    stages = stage_geometry(ns.mode)
+
+    # Update phases are stage-invariant: build once from any stage's env.
+    env0 = make_env(EnvParams(num_parallel=P, risk_factor=ns.risk,
+                              staggered_resets=True),
+                    TriangleInitConfig(num_parallel=P, num_obstacles=3), None)
+    mappo = make_mappo(cfg, env0, NormalizerConfig(), ScalerConfig())
+    ta = jax.jit(mappo.train_actor)
+    tc = jax.jit(mappo.train_critic)
+    ts, es = mappo.init(jax.random.PRNGKey(ns.seed))
+    rows = env_state_to_rows(es)
+
+    results = []
+    global_repeat = 0
+    for label, ep_over, init_over in stages:
+        ep = EnvParams(num_parallel=P, risk_factor=ns.risk,
+                       staggered_resets=True, **ep_over)
+        icfg = TriangleInitConfig(num_parallel=P, num_obstacles=3,
+                                  **init_over)
+        fc = jax.jit(make_fused_collect(cfg, ep, icfg, NormalizerConfig(),
+                                        ScalerConfig()))
+        mean_rews, tars, cols, truncs = [], [], [], []
+        t0 = time.perf_counter()
+        for r in range(ns.repeats_per_stage):
+            rows, buf, met = fc(ts, rows, base_seed + global_repeat)
+            ts, _ = ta(ts, buf)
+            ts, _ = tc(ts, buf)
+            global_repeat += 1
+            mean_rews.append(float(met.mean_rew))
+            tars.append(int(met.stats.num_tar))
+            cols.append(int(met.stats.num_col))
+            truncs.append(int(met.stats.num_trunc))
+        dt = time.perf_counter() - t0
+        q = max(1, ns.repeats_per_stage // 4)
+        tar, col, trunc = (float(np.sum(v[-q:])) for v in (tars, cols, truncs))
+        endings = tar + col + trunc
+        cell = {
+            "stage": label,
+            "mean_rew_first": mean_rews[0], "mean_rew_last":
+                float(np.mean(mean_rews[-q:])),
+            "tar": tar, "col": col, "trunc": trunc,
+            "tar_share": tar / endings if endings else 0.0,
+            "col_share": col / endings if endings else 0.0,
+            "seconds": dt,
+        }
+        results.append(cell)
+        print(json.dumps(cell), flush=True)
+
+    os.makedirs(os.path.dirname(ns.out) or ".", exist_ok=True)
+    payload = {"mode": ns.mode, "risk": ns.risk,
+               "repeats_per_stage": ns.repeats_per_stage, "stages": results}
+    with open(f"{ns.out}_{ns.mode}.json", "w") as f:
+        json.dump(payload, f, indent=2)
+    print("wrote", f"{ns.out}_{ns.mode}.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
