@@ -48,12 +48,27 @@ input width A*obs = 36 already tiles lanes 3x better), so packing only
 dilates its dominant cost: G=1 (no packing) measured fastest
 (32 / 38 / 41 ms at G = 1 / 2 / 4) and is the critic default.
 
+Affine collapse (round-2 rev 3, the current actor default): the
+reference actor applies NO activation on its hidden layer (reference
+models.py:29 — a replicated quirk), which makes the obs -> head
+preactivations map AFFINE.  The ACTOR_LAYOUT="affine" kernel therefore
+precomposes the two layers into one (4, 12) operator per minibatch call,
+runs ONE small block-diagonal matmul forward + ONE outer-product
+accumulator backward, and recomposes the five true parameter gradients
+outside by the chain rule.  The kernel becomes streaming-bound: measured
+DEVICE time 15.3 ms vs 67.8 ms for "packed" (4.4x) at the default config
+— see ACTOR_LAYOUT below for the layout taxonomy and the measured
+numbers, including the instructive failure of the intermediate
+"undilated" layout.
+
 Gradient semantics replicate jax.value_and_grad of the XLA losses
 op-for-op, including JAX's balanced-tie rules (min/max ties propagate 0.5
 to each branch — the COMMON case here: an unclipped PPO ratio makes both
 actor objectives equal, a value inside the clip band makes both critic
-branches equal) and relu'(0) = 0.  No PRNG is involved, so interpret mode
-on CPU is fully functional (unlike the collect kernels).
+branches equal) and relu'(0) = 0.  The affine layout's loss/grads match
+to fp tolerance rather than bitwise (composite-product rounding).  No
+PRNG is involved, so interpret mode on CPU is fully functional (unlike
+the collect kernels).
 
 Staging (transposes + advantage pairing + group packing + padding)
 happens once per training phase — NOT per epoch — via
@@ -88,21 +103,59 @@ import os
 # mode simulator, where large-G multi-shard runs can deadlock (below).
 ACTOR_G = int(os.environ.get("MARLNAV_ACTOR_G", "8"))
 CRITIC_G = int(os.environ.get("MARLNAV_CRITIC_G", "1"))
-ROWS_PER_STEP = int(os.environ.get("MARLNAV_UPDATE_ROWS_PER_STEP", "8192"))
-# ^ G * columns per grid step (VMEM budget: the (G*H, cols) h / g_h
-# intermediates dominate; 8192 measured best on v5e — 16384 regresses)
+# Actor kernel layout (staging and kernel must agree):
+#   "packed"    — every matmul block-diagonal-dilated (kron(I_G, W)), all
+#                 tensors sublane-packed end to end.
+#   "undilated" — matmuls run on PLAIN weights over a (features, G*cols)
+#                 lane-major layout (G x fewer MACs: no block-diagonal
+#                 dilation, and the dW accumulators are the true (out, in)
+#                 shapes with the group sum absorbed into the contraction);
+#                 the elementwise PPO chain still runs sublane-packed via
+#                 the (2, G*C) <-> (2G, C) row-major reshape, which is a
+#                 pure lane->sublane refold of the SAME row order.
+#                 Measured v5e: SLOWER than packed (115.7 vs 94.7 ms) —
+#                 the four refolds + narrow-M matmuls cost more than the
+#                 8x MAC dilation they remove.  Kept for the record.
+#   "affine"    — exploits the reference actor's missing hidden
+#                 activation (reference models.py:29): the network is
+#                 AFFINE from obs to head preactivations, so forward
+#                 collapses to ONE (4G, 12G) block-diagonal matmul
+#                 z = A_bd x with A = [[W1@Wmu]^T; [W1@Wvar]^T], and
+#                 backward to ONE (4G, 12G) accumulator g_z x^T; the true
+#                 five parameter gradients are recomposed OUTSIDE the
+#                 kernel from the (4, 12) diagonal-block sum by the chain
+#                 rule (tiny matmuls).  ~19x fewer kernel MACs than
+#                 "packed", no refolds, no (G*H, cols) VMEM intermediate.
+#                 Same math, different fp rounding (composite A vs two
+#                 chained matmuls) — parity vs jax.value_and_grad holds
+#                 to test tolerance, not bitwise.
+# Measured v5e, default config, DEVICE time (5 phases scanned into one
+# dispatch so the ~27 ms/dispatch tunnel latency is excluded): packed
+# 67.8 ms/phase, affine 15.3 ms/phase (4.4x) — affine is the default.
+ACTOR_LAYOUT = os.environ.get("MARLNAV_ACTOR_LAYOUT", "affine")
+# G * columns per grid step, per kernel.  The packed layout's VMEM budget
+# (the (G*H, cols) h / g_h intermediates) capped it at 8192; the affine
+# kernel has no (G*H, cols) intermediate and measured best at 32768
+# (15.7/15.3/15.5 ms at 16384/32768/65536).  The critic keeps 8192
+# (its (H, cols) relu activations still dominate VMEM; 32768 overflows).
+_ROWS_DEFAULT = os.environ.get("MARLNAV_UPDATE_ROWS_PER_STEP")
+ACTOR_ROWS_PER_STEP = int(os.environ.get(
+    "MARLNAV_ACTOR_ROWS_PER_STEP",
+    _ROWS_DEFAULT or ("8192" if ACTOR_LAYOUT == "packed" else "32768")))
+CRITIC_ROWS_PER_STEP = int(os.environ.get(
+    "MARLNAV_CRITIC_ROWS_PER_STEP", _ROWS_DEFAULT or "8192"))
 
 
 def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-def _pick_cols(n_rows: int, g: int) -> tuple[int, int]:
+def _pick_cols(n_rows: int, g: int, rows_per_step: int) -> tuple[int, int]:
     """Total packed columns (multiple of the lane tile) and the per-grid-
-    step column block; a full ROWS_PER_STEP block for big batches, one
+    step column block; a full rows_per_step block for big batches, one
     padded block for small (test) ones."""
     c = _round_up(max(n_rows, 1), g * 128) // g
-    blk = min(ROWS_PER_STEP // g, c)
+    blk = min(rows_per_step // g, c)
     return _round_up(c, blk), blk
 
 
@@ -154,6 +207,18 @@ def _pack_chan(x: jax.Array, c: int, g: int) -> jax.Array:
     return x.reshape(r, g, c).reshape(r * g, c)
 
 
+def _pack_lanes(x: jax.Array, c: int, blk: int, g: int) -> jax.Array:
+    """(R, n) feature-major -> (R, G*c) lane-major for the undilated
+    layout: per grid-step block i, the G groups' column windows sit side
+    by side on lanes — column i*G*blk + grp*blk + j holds source row
+    grp*c + i*blk + j, the SAME row the packed layout's block i places at
+    (sublane grp, lane j)."""
+    r = x.shape[0]
+    x = jnp.pad(x, ((0, 0), (0, g * c - x.shape[1])))
+    return (x.reshape(r, g, c // blk, blk).transpose(0, 2, 1, 3)
+            .reshape(r, g * c))
+
+
 def _pack_mask(n: int, c: int, g: int) -> jax.Array:
     rows = jnp.arange(g, dtype=jnp.int32)[:, None] * c \
         + jnp.arange(c, dtype=jnp.int32)[None, :]
@@ -189,16 +254,24 @@ def _unpack_w_chan(dw: jax.Array, out: int, inn: int, g: int) -> jax.Array:
     return jnp.einsum("cggk->ck", dw.reshape(out, g, g, inn))
 
 
-def stage_actor_minibatch(mb, cfg: MAPPOConfig, g: int | None = None):
+def stage_actor_minibatch(mb, cfg: MAPPOConfig, g: int | None = None,
+                          layout: str | None = None):
     """Buffer minibatch (leaves (size, P, ...)) -> (kernel layout, n_rows).
 
     Shapes are inferred from the minibatch itself (not cfg.num_parallel),
-    so the same staging serves a per-shard buffer slice under shard_map."""
+    so the same staging serves a per-shard buffer slice under shard_map.
+    Only ``obs`` depends on ``layout`` (the matmul operand); the
+    elementwise-chain tensors are sublane-packed in both layouts."""
     size, p, a = mb.obs.shape[0], mb.obs.shape[1], mb.obs.shape[2]
     g = ACTOR_G if g is None else g
+    layout = ACTOR_LAYOUT if layout is None else layout
     n = size * p * a
-    c, _ = _pick_cols(n, g)
-    obs = _pack_group(mb.obs.reshape(n, cfg.obs_size).T, c, g)
+    c, blk = _pick_cols(n, g, ACTOR_ROWS_PER_STEP)
+    obs_t = mb.obs.reshape(n, cfg.obs_size).T
+    if layout == "undilated":
+        obs = _pack_lanes(obs_t, c, blk, g)
+    else:  # "packed" and "affine" share the group-major staging
+        obs = _pack_group(obs_t, c, g)
     actions = _pack_chan(mb.actions.reshape(n, cfg.action_size).T, c, g)
     log_probs = _pack_group(mb.log_probs.reshape(1, n), c, g)
     adv = (_pair_rows(mb.returns.reshape(size * p), a, cfg.faithful)
@@ -212,7 +285,7 @@ def stage_critic_minibatch(mb, cfg: MAPPOConfig, g: int | None = None):
     size, p = mb.obs.shape[0], mb.obs.shape[1]
     g = CRITIC_G if g is None else g
     n = size * p
-    c, _ = _pick_cols(n, g)
+    c, _ = _pick_cols(n, g, CRITIC_ROWS_PER_STEP)
     obs = _pack_group(
         mb.obs.reshape(n, cfg.num_agents * cfg.obs_size).T, c, g)
     values = _pack_group(mb.values.reshape(1, n), c, g)
@@ -229,6 +302,64 @@ def _balanced_sel(a: jax.Array, b: jax.Array):
     return wa, 1.0 - wa
 
 
+def _ppo_chain(u, s, act, lp_b, adv, mask, g, eps, ent_c):
+    """The actor objective's elementwise forward-from-preactivations and
+    hand-derived backward on channel-major ``(2G, C)`` tiles (rows c*G+grp;
+    per-row quantities on ``(G, C)``).  Shared by both kernel layouts.
+    Returns ``(loss_sum (1,1), g_u (2G,C), g_s (2G,C))``."""
+    mu = jnp.tanh(u)
+    # softplus and its derivative sigmoid(s) (used in the backward pass)
+    # share ONE exp via the overflow-safe formulation:
+    # softplus(s) = max(s,0) + log1p(e), sigmoid(s) = {1, e}/(1+e)
+    # for s {>=, <} 0, with e = exp(-|s|).  Equal to jax.nn.softplus /
+    # the logistic to f32 ulps; saves a transcendental per element on
+    # the hot (2G, C) tiles.
+    e_s = jnp.exp(-jnp.abs(s))
+    var = jnp.maximum(s, 0.0) + jnp.log1p(e_s)
+
+    diff = act - mu  # (2G, C)
+    inv_var = 1.0 / var
+    log_var = jnp.log(var)
+    zz = diff * diff * inv_var
+    lv_sum = log_var[:g] + log_var[g:]  # (g, C): both action dims
+    lp_new = -0.5 * (2.0 * _LOG_2PI + lv_sum + zz[:g] + zz[g:])
+    ent = (1.0 + _LOG_2PI) + 0.5 * lv_sum
+
+    ratio = jnp.exp(lp_new - lp_b)
+    clipped = jnp.clip(ratio, 1.0 - eps, 1.0 + eps)
+    o1 = ratio * adv
+    o2 = clipped * adv
+    obj = jnp.minimum(o1, o2)
+
+    loss_rows = -(obj + ent_c * ent) * mask
+    loss_sum = jnp.sum(loss_rows, axis=(0, 1), keepdims=True)
+
+    # ---- backward (mirrors jax.value_and_grad of actor_loss,
+    # including balanced tie weights and clip-boundary halves) ----
+    w_o1, w_o2 = _balanced_sel(o1, o2)
+    lo, hi = 1.0 - eps, 1.0 + eps
+    # d clip/d ratio: 1 inside, 0 outside, 0.5 exactly on a bound
+    # (clip = min(max(r, lo), hi) under JAX's balanced ties).
+    inside = ((ratio > lo).astype(jnp.float32)
+              * (ratio < hi).astype(jnp.float32))
+    on_edge = ((ratio == lo).astype(jnp.float32)
+               + (ratio == hi).astype(jnp.float32))
+    dclip = inside + 0.5 * on_edge
+    g_obj = -mask  # d loss_row / d obj (row sums; /N outside)
+    g_ratio = g_obj * adv * (w_o1 + w_o2 * dclip)
+    g_lp = g_ratio * ratio  # (G, C)
+
+    g_lp2 = jnp.concatenate([g_lp, g_lp], axis=0)  # (2G, C)
+    mask2 = jnp.concatenate([mask, mask], axis=0)
+    g_mu = g_lp2 * diff * inv_var  # (2G, C)
+    g_var = (g_lp2 * 0.5 * (zz - 1.0) * inv_var
+             - (ent_c * 0.5) * mask2 * inv_var)
+    g_u = g_mu * (1.0 - mu * mu)
+    r_e = 1.0 / (1.0 + e_s)
+    g_s = g_var * jnp.where(s >= 0.0, r_e, e_s * r_e)
+    return loss_sum, g_u, g_s
+
+
 def _dot(a: jax.Array, b: jax.Array, dims, dtype=None):
     if dtype is not None:
         a, b = a.astype(dtype), b.astype(dtype)
@@ -238,7 +369,8 @@ def _dot(a: jax.Array, b: jax.Array, dims, dtype=None):
 
 def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
                           psum_axis: str | None = None,
-                          g: int | None = None):
+                          g: int | None = None,
+                          layout: str | None = None):
     """Build ``grad(params, staged, n_rows) -> (loss, ActorParams-grads)``
     — the fused equivalent of ``jax.value_and_grad(actor_loss)``
     (algo/mappo.py).
@@ -247,10 +379,18 @@ def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
     all-reduced over that mesh axis before the 1/n_rows scaling, so
     ``n_rows`` must then be the GLOBAL row count — the data-parallel
     gradient exactly as the XLA path would produce it.  ``g`` must match
-    the staging G (default: module ACTOR_G)."""
+    the staging G and ``layout`` the staging layout (defaults: module
+    ACTOR_G / ACTOR_LAYOUT)."""
     obs_size, eps, ent_c = cfg.obs_size, cfg.epsilon, cfg.ent_const
     g = ACTOR_G if g is None else g
+    layout = ACTOR_LAYOUT if layout is None else layout
     dtype = jnp.bfloat16 if cfg.bf16_updates else None
+    if layout == "undilated":
+        return _make_actor_grad_undilated(cfg, interpret, psum_axis, g,
+                                          obs_size, eps, ent_c, dtype)
+    if layout == "affine":
+        return _make_actor_grad_affine(cfg, interpret, psum_axis, g,
+                                       obs_size, eps, ent_c, dtype)
 
     def kernel(obs_ref, act_ref, lp_ref, adv_ref, mask_ref,
                w1bd, b1p, wmubd, bmup, wvarbd, bvarp,
@@ -261,64 +401,17 @@ def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
                 o[:] = jnp.zeros_like(o)
 
         x = obs_ref[:]  # (G*obs, C)
-        mask = mask_ref[:]  # (G, C)
 
         # ---- forward (models/networks.py actor_apply; no fc1 activation,
         # reference models.py:29) ----
         h = _dot(w1bd[:], x, ((1,), (0,)), dtype) + b1p[:]  # (G*H, C)
         u = _dot(wmubd[:], h, ((1,), (0,)), dtype) + bmup[:]  # (2G, C)
         s = _dot(wvarbd[:], h, ((1,), (0,)), dtype) + bvarp[:]
-        mu = jnp.tanh(u)
-        # softplus and its derivative sigmoid(s) (used in the backward
-        # pass) share ONE exp via the overflow-safe formulation:
-        # softplus(s) = max(s,0) + log1p(e), sigmoid(s) = {1, e}/(1+e)
-        # for s {>=, <} 0, with e = exp(-|s|).  Equal to jax.nn.softplus /
-        # the logistic to f32 ulps; saves a transcendental per element on
-        # the hot (2G, C) tiles.
-        e_s = jnp.exp(-jnp.abs(s))
-        var = jnp.maximum(s, 0.0) + jnp.log1p(e_s)
 
-        diff = act_ref[:] - mu  # (2G, C)
-        inv_var = 1.0 / var
-        log_var = jnp.log(var)
-        zz = diff * diff * inv_var
-        lv_sum = log_var[:g] + log_var[g:]  # (g, C): both action dims
-        lp_new = -0.5 * (2.0 * _LOG_2PI + lv_sum + zz[:g] + zz[g:])
-        ent = (1.0 + _LOG_2PI) + 0.5 * lv_sum
-
-        adv = adv_ref[:]
-        ratio = jnp.exp(lp_new - lp_ref[:])
-        clipped = jnp.clip(ratio, 1.0 - eps, 1.0 + eps)
-        o1 = ratio * adv
-        o2 = clipped * adv
-        obj = jnp.minimum(o1, o2)
-
-        loss_rows = -(obj + ent_c * ent) * mask
-        loss_out[:] += jnp.sum(loss_rows, axis=(0, 1), keepdims=True)
-
-        # ---- backward (mirrors jax.value_and_grad of actor_loss,
-        # including balanced tie weights and clip-boundary halves) ----
-        w_o1, w_o2 = _balanced_sel(o1, o2)
-        lo, hi = 1.0 - eps, 1.0 + eps
-        # d clip/d ratio: 1 inside, 0 outside, 0.5 exactly on a bound
-        # (clip = min(max(r, lo), hi) under JAX's balanced ties).
-        inside = ((ratio > lo).astype(jnp.float32)
-                  * (ratio < hi).astype(jnp.float32))
-        on_edge = ((ratio == lo).astype(jnp.float32)
-                   + (ratio == hi).astype(jnp.float32))
-        dclip = inside + 0.5 * on_edge
-        g_obj = -mask  # d loss_row / d obj (row sums; /N outside)
-        g_ratio = g_obj * adv * (w_o1 + w_o2 * dclip)
-        g_lp = g_ratio * ratio  # (G, C)
-
-        g_lp2 = jnp.concatenate([g_lp, g_lp], axis=0)  # (2g, C)
-        mask2 = jnp.concatenate([mask, mask], axis=0)
-        g_mu = g_lp2 * diff * inv_var  # (2G, C)
-        g_var = (g_lp2 * 0.5 * (zz - 1.0) * inv_var
-                 - (ent_c * 0.5) * mask2 * inv_var)
-        g_u = g_mu * (1.0 - mu * mu)
-        r_e = 1.0 / (1.0 + e_s)
-        g_s = g_var * jnp.where(s >= 0.0, r_e, e_s * r_e)
+        loss_sum, g_u, g_s = _ppo_chain(u, s, act_ref[:], lp_ref[:],
+                                        adv_ref[:], mask_ref[:],
+                                        g, eps, ent_c)
+        loss_out[:] += loss_sum
 
         g_h = (_dot(wmubd[:], g_u, ((0,), (0,)), dtype)
                + _dot(wvarbd[:], g_s, ((0,), (0,)), dtype))  # (G*H, C)
@@ -335,7 +428,7 @@ def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
 
         h_size = params.fc1.w.shape[1]
         c = staged.obs.shape[1]
-        blk = min(ROWS_PER_STEP // g, c)
+        blk = min(ACTOR_ROWS_PER_STEP // g, c)
         grid = (c // blk,)
         gh, go = g * h_size, g * obs_size
 
@@ -387,6 +480,204 @@ def make_fused_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
         loss_sum, gsums = sums
         inv_n = 1.0 / n_rows
         return loss_sum * inv_n, jax.tree.map(lambda g: g * inv_n, gsums)
+
+    return grad
+
+
+def _make_actor_grad_undilated(cfg, interpret, psum_axis, g,
+                               obs_size, eps, ent_c, dtype):
+    """The "undilated" actor kernel: matmuls on PLAIN weights over a
+    lane-major (features, G*C) layout — G x fewer MACs than the
+    block-diagonal form, dW accumulators directly in the true (out, in)
+    shapes — with the elementwise PPO chain still sublane-packed via the
+    row-major refolds (2, G*C) <-> (2G, C) (see _pack_lanes: block i's
+    lane order is (group, j), so the refold lands each group on its
+    packed sublane)."""
+
+    def kernel(obs_ref, act_ref, lp_ref, adv_ref, mask_ref,
+               w1t, b1, wmut, bmu, wvart, bvar,
+               loss_out, dw1, db1, dwmu, dbmu, dwvar, dbvar):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for o in (loss_out, dw1, db1, dwmu, dbmu, dwvar, dbvar):
+                o[:] = jnp.zeros_like(o)
+
+        x = obs_ref[:]  # (obs, G*BLK)
+
+        # ---- forward (models/networks.py actor_apply; no fc1 activation,
+        # reference models.py:29) ----
+        h = _dot(w1t[:], x, ((1,), (0,)), dtype) + b1[:]  # (H, G*BLK)
+        u_l = _dot(wmut[:], h, ((1,), (0,)), dtype) + bmu[:]  # (2, G*BLK)
+        s_l = _dot(wvart[:], h, ((1,), (0,)), dtype) + bvar[:]
+
+        # lane->sublane refold: (2, G*BLK) -> (2G, BLK) channel-major.
+        u = u_l.reshape(2 * g, -1)
+        s = s_l.reshape(2 * g, -1)
+        loss_sum, g_u, g_s = _ppo_chain(u, s, act_ref[:], lp_ref[:],
+                                        adv_ref[:], mask_ref[:],
+                                        g, eps, ent_c)
+        loss_out[:] += loss_sum
+        g_u_l = g_u.reshape(2, -1)  # sublane->lane refold back
+        g_s_l = g_s.reshape(2, -1)
+
+        g_h = (_dot(wmut[:], g_u_l, ((0,), (0,)), dtype)
+               + _dot(wvart[:], g_s_l, ((0,), (0,)), dtype))  # (H, G*BLK)
+
+        # The lane contraction runs over ALL G groups at once, so each dW
+        # accumulates the true group-summed gradient — no diagonal-block
+        # extraction.
+        dwmu[:] += _dot(g_u_l, h, ((1,), (1,)), dtype)  # (2, H)
+        dbmu[:] += jnp.sum(g_u_l, axis=1, keepdims=True)
+        dwvar[:] += _dot(g_s_l, h, ((1,), (1,)), dtype)
+        dbvar[:] += jnp.sum(g_s_l, axis=1, keepdims=True)
+        dw1[:] += _dot(g_h, x, ((1,), (1,)), dtype)  # (H, obs)
+        db1[:] += jnp.sum(g_h, axis=1, keepdims=True)
+
+    def grad(params, staged: StagedActorBatch, n_rows: int):
+        from marlnav_tpu.models.networks import ActorParams, Dense
+
+        h_size = params.fc1.w.shape[1]
+        c = staged.obs.shape[1] // g
+        blk = min(ACTOR_ROWS_PER_STEP // g, c)
+        grid = (c // blk,)
+
+        def col_spec(rows_dim, cols_dim):
+            return pl.BlockSpec((rows_dim, cols_dim), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        def full(shape):
+            return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                memory_space=pltpu.VMEM)
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[col_spec(obs_size, g * blk), col_spec(2 * g, blk),
+                      col_spec(g, blk), col_spec(g, blk), col_spec(g, blk),
+                      full((h_size, obs_size)), full((h_size, 1)),
+                      full((2, h_size)), full((2, 1)),
+                      full((2, h_size)), full((2, 1))],
+            out_specs=[full((1, 1)),
+                       full((h_size, obs_size)), full((h_size, 1)),
+                       full((2, h_size)), full((2, 1)),
+                       full((2, h_size)), full((2, 1))],
+            out_shape=[jax.ShapeDtypeStruct(sh, jnp.float32) for sh in
+                       ((1, 1), (h_size, obs_size), (h_size, 1),
+                        (2, h_size), (2, 1), (2, h_size), (2, 1))],
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(
+            staged.obs, staged.actions, staged.log_probs, staged.adv,
+            staged.mask,
+            params.fc1.w.T, params.fc1.b[:, None],
+            params.fc_mu.w.T, params.fc_mu.b[:, None],
+            params.fc_var.w.T, params.fc_var.b[:, None],
+        )
+        loss, dw1, db1, dwmu, dbmu, dwvar, dbvar = outs
+        sums = (loss[0, 0], ActorParams(
+            fc1=Dense(dw1.T, db1[:, 0]),
+            fc_mu=Dense(dwmu.T, dbmu[:, 0]),
+            fc_var=Dense(dwvar.T, dbvar[:, 0]),
+        ))
+        if psum_axis is not None:
+            sums = jax.lax.psum(sums, psum_axis)
+        loss_sum, gsums = sums
+        inv_n = 1.0 / n_rows
+        return loss_sum * inv_n, jax.tree.map(lambda g_: g_ * inv_n, gsums)
+
+    return grad
+
+
+def _make_actor_grad_affine(cfg, interpret, psum_axis, g,
+                            obs_size, eps, ent_c, dtype):
+    """The "affine" actor kernel (see ACTOR_LAYOUT): because the reference
+    actor applies NO hidden activation (reference models.py:29), the map
+    from obs to head preactivations is affine —
+
+        u = (W1 Wmu)^T x + (Wmu^T b1 + bmu),   s = likewise,
+
+    so the kernel runs ONE (4G, 12G) block-diagonal matmul forward and
+    accumulates ONE (4G, 12G) outer-product backward; the five true
+    parameter gradients are recomposed outside by the chain rule:
+
+        dWmu = (Σ g_u x^T) W1 + b1 ⊗ Σ g_u          (then transposed
+        dW1  = x-major: (Σ g_u x^T)^T Wmu^T + (Σ g_s x^T)^T Wvar^T
+        db1  = Wmu Σ g_u + Wvar Σ g_s                into Dense layout)
+
+    where Σ g_u x^T / Σ g_s x^T are the diagonal-block sums of the
+    kernel's accumulator.  Same math as "packed", different fp rounding
+    (the composite products) — parity holds to test tolerance."""
+
+    def kernel(obs_ref, act_ref, lp_ref, adv_ref, mask_ref,
+               abd, cp, loss_out, dzbd, dzsum):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for o in (loss_out, dzbd, dzsum):
+                o[:] = jnp.zeros_like(o)
+
+        x = obs_ref[:]  # (G*obs, BLK)
+        z = _dot(abd[:], x, ((1,), (0,)), dtype) + cp[:]  # (4G, BLK)
+        loss_sum, g_u, g_s = _ppo_chain(z[:2 * g], z[2 * g:], act_ref[:],
+                                        lp_ref[:], adv_ref[:], mask_ref[:],
+                                        g, eps, ent_c)
+        loss_out[:] += loss_sum
+        g_z = jnp.concatenate([g_u, g_s], axis=0)  # (4G, BLK)
+        dzbd[:] += _dot(g_z, x, ((1,), (1,)), dtype)  # (4G, G*obs)
+        dzsum[:] += jnp.sum(g_z, axis=1, keepdims=True)
+
+    def grad(params, staged: StagedActorBatch, n_rows: int):
+        from marlnav_tpu.models.networks import ActorParams, Dense
+
+        w1, b1 = params.fc1.w, params.fc1.b  # (obs, H), (H,)
+        wmu, bmu = params.fc_mu.w, params.fc_mu.b  # (H, 2), (2,)
+        wvar, bvar = params.fc_var.w, params.fc_var.b
+        a_comp = jnp.concatenate([(w1 @ wmu).T, (w1 @ wvar).T])  # (4, obs)
+        c_comp = jnp.concatenate([b1 @ wmu + bmu, b1 @ wvar + bvar])  # (4,)
+
+        c = staged.obs.shape[1]
+        blk = min(ACTOR_ROWS_PER_STEP // g, c)
+        grid = (c // blk,)
+        go = g * obs_size
+
+        def col_spec(rows_dim):
+            return pl.BlockSpec((rows_dim, blk), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        def full(shape):
+            return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                memory_space=pltpu.VMEM)
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[col_spec(go), col_spec(2 * g), col_spec(g),
+                      col_spec(g), col_spec(g),
+                      full((4 * g, go)), full((4 * g, 1))],
+            out_specs=[full((1, 1)), full((4 * g, go)), full((4 * g, 1))],
+            out_shape=[jax.ShapeDtypeStruct(sh, jnp.float32) for sh in
+                       ((1, 1), (4 * g, go), (4 * g, 1))],
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(
+            staged.obs, staged.actions, staged.log_probs, staged.adv,
+            staged.mask,
+            _bd_chan(a_comp, g),
+            jnp.repeat(c_comp, g)[:, None],
+        )
+        loss, dzbd, dzsum = outs
+        dz = _unpack_w_chan(dzbd, 4, obs_size, g)  # (4, obs) true sums
+        dzs = jnp.sum(dzsum.reshape(4, g), axis=1)  # (4,)
+        guxt, gsxt = dz[:2], dz[2:]  # Σ g_u x^T, Σ g_s x^T
+        su, ss = dzs[:2], dzs[2:]  # Σ g_u, Σ g_s
+        sums = (loss[0, 0], ActorParams(
+            fc1=Dense(guxt.T @ wmu.T + gsxt.T @ wvar.T,
+                      wmu @ su + wvar @ ss),
+            fc_mu=Dense((guxt @ w1).T + b1[:, None] * su[None, :], su),
+            fc_var=Dense((gsxt @ w1).T + b1[:, None] * ss[None, :], ss),
+        ))
+        if psum_axis is not None:
+            sums = jax.lax.psum(sums, psum_axis)
+        loss_sum, gsums = sums
+        inv_n = 1.0 / n_rows
+        return loss_sum * inv_n, jax.tree.map(lambda g_: g_ * inv_n, gsums)
 
     return grad
 
@@ -453,7 +744,7 @@ def make_fused_critic_grad(cfg: MAPPOConfig, interpret: bool = False,
 
         h_size = params.fc1.w.shape[1]
         c = staged.obs.shape[1]
-        blk = min(ROWS_PER_STEP // g, c)
+        blk = min(CRITIC_ROWS_PER_STEP // g, c)
         grid = (c // blk,)
         gh, gi = g * h_size, g * in_size
 

@@ -50,7 +50,28 @@ def synth_buffer(key, t, p):
     )
 
 
-def bench(label, fn, ts, buf, iters):
+def bench(label, fn, ts, buf, iters, device_time=False):
+    if device_time:
+        # Scan `iters` phases into ONE dispatch so the tunnel's
+        # ~25-30 ms/dispatch latency is excluded — use this mode for
+        # kernel tuning (the per-call numbers below include dispatch).
+        @jax.jit
+        def block(ts):
+            def body(ts, _):
+                ts, losses = fn(ts, buf)
+                return ts, losses[-1]
+            ts, ls = jax.lax.scan(body, ts, None, length=iters)
+            return ts, ls[-1]
+        ts2, loss = block(ts)
+        float(loss)  # compile + settle
+        dt = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ts2, loss = block(ts2)
+            float(loss)
+            dt = min(dt, (time.perf_counter() - t0) / iters)
+        print(f"{label}: {dt * 1e3:8.1f} ms/phase (device)")
+        return dt
     ts2, losses = fn(ts, buf)
     float(losses[0])  # compile + settle
     t0 = time.perf_counter()
@@ -73,6 +94,9 @@ def main():
     ap.add_argument("--variants", type=str, default="all",
                     help="comma list of fp32,bf16,fused,fused+bf16 "
                          "(XLA variants cost minutes of tunnel compile)")
+    ap.add_argument("--device-time", action="store_true",
+                    help="scan the iters into one dispatch (excludes the "
+                         "remote-tunnel per-call latency)")
     args = ap.parse_args()
 
     print("device:", jax.devices()[0].platform, jax.devices()[0].device_kind)
@@ -96,9 +120,9 @@ def main():
         mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
         ts, _ = mappo.init(jax.random.PRNGKey(1))
         a = bench(f"actor  {tag:10s}", jax.jit(mappo.train_actor), ts, buf,
-                  args.iters)
+                  args.iters, args.device_time)
         c = bench(f"critic {tag:10s}", jax.jit(mappo.train_critic), ts, buf,
-                  args.iters)
+                  args.iters, args.device_time)
         results[tag] = (a, c)
 
     if "fp32" in results:
