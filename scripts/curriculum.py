@@ -144,6 +144,14 @@ def run_adaptive(ns):
                "seconds": round(time.perf_counter() - t0, 1)}
         history.append(rec)
         print(json.dumps(rec), flush=True)
+        # Per-stage actor snapshot (renderer format): training CONTINUES
+        # past the best-reaching stage and can collapse (stages 6-14 of
+        # the recorded run), so the final state is not the artifact.
+        np.savez(f"{ns.out}_actor_stage{stage}.npz", **{
+            ".".join(str(getattr(k, "name", k)) for k in path):
+                np.asarray(v)
+            for path, v in
+            jax.tree_util.tree_flatten_with_path(ts.actor)[0]})
         if share > 0.02:
             radius = round(radius * 0.85)
     os.makedirs(os.path.dirname(ns.out) or ".", exist_ok=True)
