@@ -82,6 +82,7 @@ def make_fused_collect(
     noise_input: bool = False,
     mesh=None,
     axis: str = "data",
+    return_tiled: bool = False,
 ):
     """Build ``collect(ts, rows, seed[, noise]) -> (rows', Buffer,
     RolloutMetrics)`` — a drop-in for ``MAPPO.collect`` operating on the
@@ -92,7 +93,13 @@ def make_fused_collect(
     with the env batch sharded over ``axis`` (distinct per-shard PRNG
     streams); the untiling and returns processing stay ordinary sharded
     XLA, so the buffer-wide normalization reductions become the only
-    collectives — inserted automatically."""
+    collectives — inserted automatically.
+
+    With ``return_tiled`` the collect additionally returns the kernel's
+    RAW per-step obs/actions/log-probs (a ``TiledRollout``, zero extra
+    cost — they are the pre-untile outputs), which the tiled actor-update
+    path consumes directly (ops/fused_update_tiled.py), bypassing the
+    canonical->staged relayouts."""
     sm = StepMath(env_params, init_cfg, normalizer_cfg, scaler_cfg)
     a, o, n_rows, n_draws = sm.a, sm.o, sm.n_rows, sm.n_draws
     num_steps = cfg.buffer_len
@@ -371,7 +378,12 @@ def make_fused_collect(
             num_tar=jnp.sum(stats_t[2]).astype(jnp.int32),
         )
         buffer = Buffer(obs, actions, log_probs, values, rets, done)
-        return rows2, buffer, RolloutMetrics(mean_rew, stats)
+        metrics = RolloutMetrics(mean_rew, stats)
+        if return_tiled:
+            from marlnav_tpu.ops.fused_update_tiled import TiledRollout
+
+            return rows2, buffer, metrics, TiledRollout(obs_t, act_t, lp_t)
+        return rows2, buffer, metrics
 
     def final_obs(rows2: RowState):
         """(P, A, obs) normalized observations of the final state, for the

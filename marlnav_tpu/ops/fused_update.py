@@ -587,6 +587,34 @@ def _make_actor_grad_undilated(cfg, interpret, psum_axis, g,
     return grad
 
 
+def _affine_compose(params):
+    """Precompose the activation-free actor into the (4, obs) operator
+    z = a_comp x + c_comp (column convention; see _make_actor_grad_affine)."""
+    w1, b1 = params.fc1.w, params.fc1.b  # (obs, H), (H,)
+    wmu, bmu = params.fc_mu.w, params.fc_mu.b  # (H, 2), (2,)
+    wvar, bvar = params.fc_var.w, params.fc_var.b
+    a_comp = jnp.concatenate([(w1 @ wmu).T, (w1 @ wvar).T])  # (4, obs)
+    c_comp = jnp.concatenate([b1 @ wmu + bmu, b1 @ wvar + bvar])  # (4,)
+    return a_comp, c_comp
+
+
+def _affine_recompose(params, dz, dzs):
+    """Chain-rule the (4, obs) accumulator sums back into the five true
+    parameter gradients: dz = [Σ g_u x^T; Σ g_s x^T], dzs = [Σ g_u; Σ g_s]."""
+    from marlnav_tpu.models.networks import ActorParams, Dense
+
+    w1, b1 = params.fc1.w, params.fc1.b
+    wmu, wvar = params.fc_mu.w, params.fc_var.w
+    guxt, gsxt = dz[:2], dz[2:]
+    su, ss = dzs[:2], dzs[2:]
+    return ActorParams(
+        fc1=Dense(guxt.T @ wmu.T + gsxt.T @ wvar.T,
+                  wmu @ su + wvar @ ss),
+        fc_mu=Dense((guxt @ w1).T + b1[:, None] * su[None, :], su),
+        fc_var=Dense((gsxt @ w1).T + b1[:, None] * ss[None, :], ss),
+    )
+
+
 def _make_actor_grad_affine(cfg, interpret, psum_axis, g,
                             obs_size, eps, ent_c, dtype):
     """The "affine" actor kernel (see ACTOR_LAYOUT): because the reference
@@ -625,14 +653,7 @@ def _make_actor_grad_affine(cfg, interpret, psum_axis, g,
         dzsum[:] += jnp.sum(g_z, axis=1, keepdims=True)
 
     def grad(params, staged: StagedActorBatch, n_rows: int):
-        from marlnav_tpu.models.networks import ActorParams, Dense
-
-        w1, b1 = params.fc1.w, params.fc1.b  # (obs, H), (H,)
-        wmu, bmu = params.fc_mu.w, params.fc_mu.b  # (H, 2), (2,)
-        wvar, bvar = params.fc_var.w, params.fc_var.b
-        a_comp = jnp.concatenate([(w1 @ wmu).T, (w1 @ wvar).T])  # (4, obs)
-        c_comp = jnp.concatenate([b1 @ wmu + bmu, b1 @ wvar + bvar])  # (4,)
-
+        a_comp, c_comp = _affine_compose(params)
         c = staged.obs.shape[1]
         blk = min(ACTOR_ROWS_PER_STEP // g, c)
         grid = (c // blk,)
@@ -665,14 +686,7 @@ def _make_actor_grad_affine(cfg, interpret, psum_axis, g,
         loss, dzbd, dzsum = outs
         dz = _unpack_w_chan(dzbd, 4, obs_size, g)  # (4, obs) true sums
         dzs = jnp.sum(dzsum.reshape(4, g), axis=1)  # (4,)
-        guxt, gsxt = dz[:2], dz[2:]  # Σ g_u x^T, Σ g_s x^T
-        su, ss = dzs[:2], dzs[2:]  # Σ g_u, Σ g_s
-        sums = (loss[0, 0], ActorParams(
-            fc1=Dense(guxt.T @ wmu.T + gsxt.T @ wvar.T,
-                      wmu @ su + wvar @ ss),
-            fc_mu=Dense((guxt @ w1).T + b1[:, None] * su[None, :], su),
-            fc_var=Dense((gsxt @ w1).T + b1[:, None] * ss[None, :], ss),
-        ))
+        sums = (loss[0, 0], _affine_recompose(params, dz, dzs))
         if psum_axis is not None:
             sums = jax.lax.psum(sums, psum_axis)
         loss_sum, gsums = sums

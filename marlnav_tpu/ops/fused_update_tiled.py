@@ -1,0 +1,226 @@
+"""Tiled actor-update path: consume the collect kernel's outputs directly.
+
+The fused collect kernel (ops/fused_collect.py) emits its per-step
+observations/actions/log-probs in its NATIVE tile layout — e.g. obs as
+``(T, A*F, 8, NB*128)`` with rows a*F+f over (sublane, lane) env tiles.
+The staged-update path converts that to the canonical Buffer layout
+(untile) and then to the update kernels' sublane-packed layout
+(stage_actor_minibatch) — two full-array relayout pipelines that measure
+~15.6 ms of the 63 ms default-config repeat (BASELINE.md, staging
+ablation), while BOTH relayout strategies tried for making them cheaper
+measured slower than XLA's (BASELINE.md negative results).
+
+This module removes the relayouts instead of optimizing them: a variant
+of the affine actor kernel (ops/fused_update.py ACTOR_LAYOUT="affine")
+reads the collect outputs as-is.  The key observation is that the tile
+layout already IS a valid sublane packing under the row mapping
+(group = env-tile sublane, column = (t, agent, env block, lane)):
+
+  * per (t, agent): obs rows [a*F, (a+1)*F) of the (A*F, 8, 128) tile
+    reshape — purely, row-major — to (F*8, 128) with rows f*8+s: the
+    CHANNEL-major feature packing, served by a channel-channel
+    block-diagonal expansion of the affine operator (_bd_chan_chan);
+  * actions rows [2a, 2a+2) reshape to (2*8, 128) rows ch*8+s — exactly
+    the chain's channel-major action layout;
+  * log-probs row a is already the (8, 128) per-row tile;
+  * there is NO padding (T*P*A rows exactly), so the chain mask is 1.
+
+Only the advantages need staging (they derive from the post-collect
+return normalization): one 12 MB relayout into (T, A, 8, NB*128), with
+the faithful/fixed pairing applied in the reference's flat order first
+(bit-identical advantage values to the staged path).
+
+The kernel itself is the affine kernel re-gridded over (time-window,
+env-block) with the agent loop unrolled inside — identical math, MACs,
+and VPU work per element; parity vs jax.value_and_grad holds to the same
+tolerance class as the affine layout.  Used by train.py automatically
+when --fused-collect --fused-updates run full-batch minibatches on one
+chip (the eligibility the staged path keeps covering otherwise).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from marlnav_tpu.config import MAPPOConfig
+from marlnav_tpu.ops.fused_update import (
+    _affine_compose,
+    _affine_recompose,
+    _pair_rows,
+    _ppo_chain,
+)
+from marlnav_tpu.ops.step_math import LANE, SUB
+
+
+class TiledRollout(NamedTuple):
+    """The collect kernel's raw per-step outputs (pre-untile)."""
+
+    obs: jax.Array  # (T, A*F, 8, NB*128) rows a*F+f
+    actions: jax.Array  # (T, 2A, 8, NB*128) rows 2a+ch
+    log_probs: jax.Array  # (T, A, 8, NB*128) row a
+
+
+def _bd_chan_chan(wt: jax.Array, g: int) -> jax.Array:
+    """Transposed weight (out, in) -> (out*g, in*g) with BOTH axes
+    channel-major — the affine operator for channel-major obs rows."""
+    out, inn = wt.shape
+    eye = jnp.eye(g, dtype=wt.dtype)
+    return (wt[:, None, :, None] * eye[None, :, None, :]).reshape(
+        out * g, inn * g)
+
+
+def _unpack_chan_chan(dz: jax.Array, out: int, inn: int, g: int):
+    """(out*g, in*g) channel-channel block accumulator -> (out, in)."""
+    return jnp.einsum("cgfg->cf", dz.reshape(out, g, inn, g))
+
+
+def _time_window(t: int, cap: int = 8) -> int:
+    for d in range(min(t, cap), 0, -1):
+        if t % d == 0:
+            return d
+    return 1
+
+
+def stage_adv_tiled(returns, values, cfg: MAPPOConfig) -> jax.Array:
+    """(T, P) returns / (T, P, 1) values -> advantages in the tile layout
+    (T, A, 8, NB*128), with the faithful/fixed pairing applied in the
+    reference's flat (t, p, a) order first so the VALUES are bit-identical
+    to stage_actor_minibatch's."""
+    t, p = returns.shape
+    a = cfg.num_agents
+    nb = p // (SUB * LANE)
+    adv = (_pair_rows(returns.reshape(t * p), a, cfg.faithful)
+           - _pair_rows(values.reshape(t * p), a, cfg.faithful))
+    # flat (t, p, a) -> (T, A, P) -> tile the env axis (inverse of
+    # fused_rollout.untile: p = block*1024 + sublane*128 + lane)
+    adv = adv.reshape(t, p, a).transpose(0, 2, 1)
+    return (adv.reshape(t, a, nb, SUB, LANE).transpose(0, 1, 3, 2, 4)
+            .reshape(t, a, SUB, nb * LANE))
+
+
+def make_tiled_actor_grad(cfg: MAPPOConfig, interpret: bool = False):
+    """Build ``grad(params, tiled, adv_t) -> (loss, ActorParams grads)``
+    over the FULL buffer (the tiled path is full-batch only)."""
+    a_ag, obs_size = cfg.num_agents, cfg.obs_size
+    eps, ent_c = cfg.epsilon, cfg.ent_const
+    g = SUB
+    dtype = jnp.bfloat16 if cfg.bf16_updates else None
+
+    def kernel(obs_ref, act_ref, lp_ref, adv_ref, abd, cp,
+               loss_out, dzbd, dzsum):
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _():
+            for o in (loss_out, dzbd, dzsum):
+                o[:] = jnp.zeros_like(o)
+
+        tw = obs_ref.shape[0]
+        ones = jnp.ones((g, LANE), jnp.float32)  # no padding: mask == 1
+        for t in range(tw):
+            for ag in range(a_ag):
+                x = obs_ref[t, ag * obs_size:(ag + 1) * obs_size].reshape(
+                    g * obs_size, LANE)  # rows f*8+s (channel-major)
+                z = jax.lax.dot_general(
+                    abd[:], x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + cp[:]  # (4G, LANE) rows c*8+s
+                act = act_ref[t, 2 * ag:2 * ag + 2].reshape(2 * g, LANE)
+                loss_sum, g_u, g_s = _ppo_chain(
+                    z[:2 * g], z[2 * g:], act, lp_ref[t, ag],
+                    adv_ref[t, ag], ones, g, eps, ent_c)
+                loss_out[:] += loss_sum
+                g_z = jnp.concatenate([g_u, g_s])  # (4G, LANE)
+                if dtype is not None:
+                    g_z, x = g_z.astype(dtype), x.astype(dtype)
+                dzbd[:] += jax.lax.dot_general(
+                    g_z, x, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (4G, G*obs)
+                dzsum[:] += jnp.sum(g_z.astype(jnp.float32), axis=1,
+                                    keepdims=True)
+
+    def grad(params, tiled: TiledRollout, adv_t: jax.Array):
+        t, rows, sub, nbl = tiled.obs.shape
+        assert rows == a_ag * obs_size and sub == SUB
+        nb = nbl // LANE
+        tw = _time_window(t)
+        grid = (t // tw, nb)
+        n_rows = t * nbl * SUB * a_ag
+        a_comp, c_comp = _affine_compose(params)
+        go = g * obs_size
+
+        def tile_spec(rdim):
+            return pl.BlockSpec((tw, rdim, SUB, LANE),
+                                lambda i, j: (i, 0, 0, j),
+                                memory_space=pltpu.VMEM)
+
+        def full(shape):
+            return pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
+                                memory_space=pltpu.VMEM)
+
+        loss, dzbd, dzsum = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tile_spec(a_ag * obs_size), tile_spec(2 * a_ag),
+                      tile_spec(a_ag), tile_spec(a_ag),
+                      full((4 * g, go)), full((4 * g, 1))],
+            out_specs=[full((1, 1)), full((4 * g, go)), full((4 * g, 1))],
+            out_shape=[jax.ShapeDtypeStruct(sh, jnp.float32) for sh in
+                       ((1, 1), (4 * g, go), (4 * g, 1))],
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(
+            tiled.obs, tiled.actions, tiled.log_probs, adv_t,
+            _bd_chan_chan(a_comp, g),
+            jnp.repeat(c_comp, g)[:, None],
+        )
+        dz = _unpack_chan_chan(dzbd, 4, obs_size, g)
+        dzs = jnp.sum(dzsum.reshape(4, g), axis=1)
+        inv_n = 1.0 / n_rows
+        return loss[0, 0] * inv_n, jax.tree.map(
+            lambda g_: g_ * inv_n, _affine_recompose(params, dz, dzs))
+
+    return grad
+
+
+def make_tiled_actor_trainer(cfg: MAPPOConfig, interpret: bool | None = None):
+    """Build ``train(ts, buffer, tiled) -> (ts, losses)`` — the drop-in
+    for ``MAPPO.train_actor`` when the buffer came from
+    ``make_fused_collect(..., return_tiled=True)``.  Full-batch only
+    (time-sliced minibatches would need window-aligned slicing of the
+    tiled arrays; the staged path covers that case)."""
+    if cfg.batch_size != cfg.buffer_len:
+        raise NotImplementedError(
+            "the tiled update path is full-batch only "
+            f"(batch_size {cfg.batch_size} != buffer_len {cfg.buffer_len})")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    tx = optax.adam(cfg.lr)  # same construction as make_mappo's actor_tx
+    kernel_grad = make_tiled_actor_grad(cfg, interpret=interpret)
+
+    # Faithful last-step drop (reference models.py:167-171, replicated by
+    # algo/mappo.py minibatch_slices): the full-batch slice ends at -1.
+    size = cfg.buffer_len - 1 if cfg.faithful else cfg.buffer_len
+
+    def train(ts, buffer, tiled: TiledRollout):
+        tiled = TiledRollout(*(x[:size] for x in tiled))
+        # Pairing runs WITHIN the slice (the reference tiles the sliced
+        # minibatch, so the faithful wrap is modulo size*P).
+        adv_t = stage_adv_tiled(buffer.returns[:size],
+                                buffer.values[:size], cfg)
+
+        def epoch(carry, _):
+            params, opt = carry
+            loss, grads = kernel_grad(params, tiled, adv_t)
+            updates, opt = tx.update(grads, opt, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt), loss
+
+        (params, opt), losses = jax.lax.scan(
+            epoch, (ts.actor, ts.actor_opt), None, length=cfg.num_epochs)
+        return ts._replace(actor=params, actor_opt=opt), losses
+
+    return train

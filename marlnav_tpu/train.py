@@ -92,9 +92,24 @@ def train(
                 "whose in-kernel PRNG is DEGENERATE (constant noise); "
                 "refusing to train on it.  Pass --allow-interpret for "
                 "smoke tests only.")
+        # Tiled actor updates (ops/fused_update_tiled.py): when the actor
+        # update is also fused and minibatches are full-batch, the actor
+        # phase consumes the collect kernel's native tile outputs directly
+        # — the canonical->staged relayouts (~15.6 ms of the default-config
+        # repeat, BASELINE.md) disappear.  Mesh keeps the staged path (the
+        # tiled trainer is single-shard).
+        tiled_path = (cfg.model.fused_updates and mesh is None
+                      and cfg.model.batch_size == cfg.model.buffer_len)
         fc = make_fused_collect(
             cfg.model, cfg.env, cfg.init, cfg.normalizer, cfg.scaler,
-            interpret=interpret, mesh=mesh)
+            interpret=interpret, mesh=mesh, return_tiled=tiled_path)
+        if tiled_path:
+            from marlnav_tpu.ops.fused_update_tiled import (
+                make_tiled_actor_trainer,
+            )
+
+            train_actor_tiled = jax.jit(make_tiled_actor_trainer(
+                cfg.model, interpret=interpret))
         # Checkpoints always store the canonical EnvState layout (the rows
         # layout is a kernel-internal detail), so resumes work across a
         # --fused-collect flag flip in either direction.
@@ -135,8 +150,14 @@ def train(
             # so a block continues exactly where the host loop would.
             def body(carry, r):
                 ts, env_state = carry
-                env_state, buffer, metrics = fc(ts, env_state, base_seed + r)
-                ts, al = mappo.train_actor(ts, buffer)
+                if tiled_path:
+                    env_state, buffer, metrics, tiled = fc(
+                        ts, env_state, base_seed + r)
+                    ts, al = train_actor_tiled(ts, buffer, tiled)
+                else:
+                    env_state, buffer, metrics = fc(ts, env_state,
+                                                    base_seed + r)
+                    ts, al = mappo.train_actor(ts, buffer)
                 ts, cl = mappo.train_critic(ts, buffer)
                 return (ts, env_state), (metrics, al, cl)
 
@@ -145,6 +166,8 @@ def train(
                 body, (ts, env_state), repeats)
             return ts, env_state, mets, al, cl
     else:
+        tiled_path = False
+
         def do_collect(ts, env_state, repeat):
             return mappo.collect(ts, env_state,
                                  jax.random.fold_in(loop_rng, repeat))
@@ -196,8 +219,13 @@ def train(
         block = jit_repeats if remaining >= jit_repeats else 1
         t0 = time.perf_counter()
         if block == 1:
-            env_state, buffer, metrics = collect(ts, env_state, repeat)
-            ts, actor_losses = train_actor(ts, buffer)
+            if tiled_path:
+                env_state, buffer, metrics, tiled = collect(
+                    ts, env_state, repeat)
+                ts, actor_losses = train_actor_tiled(ts, buffer, tiled)
+            else:
+                env_state, buffer, metrics = collect(ts, env_state, repeat)
+                ts, actor_losses = train_actor(ts, buffer)
             ts, critic_losses = train_critic(ts, buffer)
             per_repeat = [jax.device_get(
                 (metrics, actor_losses, critic_losses))]

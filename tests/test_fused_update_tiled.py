@@ -1,0 +1,144 @@
+"""Tiled actor-update path (ops/fused_update_tiled.py): the kernel that
+consumes the collect kernel's native tile layout must train identically
+(to fp-order tolerance) to the staged fused path, and the layout
+assumption must match what the collect kernel actually emits."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from marlnav_tpu.algo import Buffer, make_mappo
+from marlnav_tpu.config import (
+    EnvParams,
+    MAPPOConfig,
+    NormalizerConfig,
+    ScalerConfig,
+    TriangleInitConfig,
+)
+from marlnav_tpu.env import make_env
+from marlnav_tpu.ops import env_state_to_rows, make_fused_collect
+from marlnav_tpu.ops.fused_update_tiled import (
+    TiledRollout,
+    make_tiled_actor_trainer,
+)
+from marlnav_tpu.ops.step_math import BLOCK_ENVS, LANE, SUB, StepMath
+
+A, OBS = 3, 12
+P, T = BLOCK_ENVS, 8
+
+
+def tile_env_axis(x):
+    """(T, rows, P) -> (T, rows, 8, NB*128), the kernel's env tiling
+    (inverse of fused_rollout.untile)."""
+    t, rows, p = x.shape
+    nb = p // BLOCK_ENVS
+    return (x.reshape(t, rows, nb, SUB, LANE).transpose(0, 1, 3, 2, 4)
+            .reshape(t, rows, SUB, nb * LANE))
+
+
+def tiled_from_buffer(buf):
+    obs = tile_env_axis(
+        buf.obs.transpose(0, 2, 3, 1).reshape(T, A * OBS, P))
+    actions = tile_env_axis(
+        buf.actions.transpose(0, 2, 3, 1).reshape(T, 2 * A, P))
+    log_probs = tile_env_axis(
+        buf.log_probs.reshape(T, P, A).transpose(0, 2, 1))
+    return TiledRollout(obs, actions, log_probs)
+
+
+def rand_buffer(seed):
+    rng = np.random.default_rng(seed)
+    return Buffer(
+        obs=jnp.asarray(rng.normal(size=(T, P, A, OBS)), jnp.float32),
+        actions=jnp.asarray(rng.uniform(-1, 1, (T, P, A, 2)), jnp.float32),
+        log_probs=jnp.asarray(rng.normal(size=(T, P * A)), jnp.float32),
+        values=jnp.asarray(rng.normal(size=(T, P, 1)), jnp.float32),
+        returns=jnp.asarray(rng.normal(size=(T, P)), jnp.float32),
+        done=jnp.asarray(rng.uniform(size=(T, P)) < 0.1),
+    )
+
+
+@pytest.mark.parametrize("faithful", [True, False])
+def test_tiled_actor_phase_matches_staged(faithful):
+    """Full tiled training phase == the staged fused train_actor, to
+    fp-summation-order tolerance (same math, different row order)."""
+    cfg = MAPPOConfig(num_agents=A, num_parallel=P, obs_size=OBS,
+                      num_total=T * P, buffer_len=T, batch_size=T,
+                      num_epochs=3, faithful=faithful, fused_updates=True)
+    env = make_env(EnvParams(num_parallel=P),
+                   TriangleInitConfig(num_parallel=P), None)
+    mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
+    ts, _ = mappo.init(jax.random.PRNGKey(0))
+    buf = rand_buffer(1)
+    tiled = tiled_from_buffer(buf)
+
+    ts_ref, losses_ref = jax.jit(mappo.train_actor)(ts, buf)
+    train_tiled = make_tiled_actor_trainer(cfg, interpret=True)
+    ts_tiled, losses_tiled = jax.jit(train_tiled)(ts, buf, tiled)
+
+    np.testing.assert_allclose(np.asarray(losses_tiled),
+                               np.asarray(losses_ref), rtol=1e-4, atol=1e-5)
+    for x, y in zip(jax.tree.leaves(ts_tiled.actor),
+                    jax.tree.leaves(ts_ref.actor)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_train_driver_tiled_path(tmp_path, monkeypatch):
+    """train(fused_collect+fused_updates, full batch) routes the actor
+    phase through the tiled trainer — smoke both the per-repeat and the
+    jit_repeats (train_many) branches end to end (interpret on CPU)."""
+    monkeypatch.chdir(tmp_path)
+    from marlnav_tpu.__main__ import build_parser
+    from marlnav_tpu.config import resolve_run_config
+    from marlnav_tpu.train import train
+
+    args = build_parser().parse_args(
+        ["-np", "1024", "-nt", "32768", "-bl", "8", "-bs", "8",
+         "-ne", "1", "-se", "3", "--fused-updates"])
+    cfg = resolve_run_config(args)
+    _, _, logger = train(cfg, verbose=False, fused_collect=True,
+                         allow_interpret=True)
+    assert len(logger.logs["mean_rews"]) == 4
+    assert np.isfinite(logger.logs["mean_rews"]).all()
+    _, _, logger2 = train(cfg, verbose=False, fused_collect=True,
+                          allow_interpret=True, jit_repeats=2)
+    assert len(logger2.logs["mean_rews"]) == 4
+    assert np.isfinite(logger2.logs["mean_rews"]).all()
+
+
+def test_collect_return_tiled_matches_buffer():
+    """The TiledRollout returned by make_fused_collect(return_tiled=True)
+    is exactly the env-tiling of the canonical Buffer fields — the layout
+    contract the tiled kernel builds on."""
+    t = 2
+    cfg = MAPPOConfig(num_agents=A, num_parallel=P, obs_size=OBS,
+                      num_total=t * P, buffer_len=t, batch_size=t,
+                      num_epochs=1)
+    ep = EnvParams(num_parallel=P)
+    icfg = TriangleInitConfig(num_parallel=P)
+    env = make_env(ep, icfg, None)
+    mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
+    ts, s0 = mappo.init(jax.random.PRNGKey(0))
+    rows0 = env_state_to_rows(s0)
+    sm = StepMath(ep, icfg, NormalizerConfig(), ScalerConfig())
+    noise = jax.random.uniform(jax.random.PRNGKey(5),
+                               (t, sm.n_draws, SUB, P // SUB), jnp.float32)
+    collect = make_fused_collect(cfg, ep, icfg, NormalizerConfig(),
+                                 ScalerConfig(), interpret=True,
+                                 noise_input=True, return_tiled=True)
+    _, buf, _, tiled = collect(ts, rows0, 7, noise=noise)
+
+    want_obs = tile_env_axis(
+        buf.obs.transpose(0, 2, 3, 1).reshape(t, A * OBS, P))
+    want_act = tile_env_axis(
+        buf.actions.transpose(0, 2, 3, 1).reshape(t, 2 * A, P))
+    want_lp = tile_env_axis(
+        buf.log_probs.reshape(t, P, A).transpose(0, 2, 1))
+    np.testing.assert_array_equal(np.asarray(tiled.obs), np.asarray(want_obs))
+    np.testing.assert_array_equal(np.asarray(tiled.actions),
+                                  np.asarray(want_act))
+    np.testing.assert_array_equal(np.asarray(tiled.log_probs),
+                                  np.asarray(want_lp))
