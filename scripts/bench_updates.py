@@ -106,7 +106,8 @@ def main():
     results = {}
     variants = [("fp32", {}), ("bf16", {"bf16_updates": True}),
                 ("fused", {"fused_updates": True}),
-                ("fused+bf16", {"fused_updates": True, "bf16_updates": True})]
+                ("fused+bf16", {"fused_updates": True, "bf16_updates": True}),
+                ("tiled", {"fused_updates": True})]
     if args.variants != "all":
         want = set(args.variants.split(","))
         variants = [v for v in variants if v[0] in want]
@@ -119,6 +120,37 @@ def main():
                        TriangleInitConfig(num_parallel=p), None)
         mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
         ts, _ = mappo.init(jax.random.PRNGKey(1))
+        if tag == "tiled":
+            # Actor phase on the collect kernel's tile layout (the
+            # canonical->staged relayouts disappear; fused_update_tiled).
+            from marlnav_tpu.ops.fused_update_tiled import (
+                make_tiled_actor_trainer,
+            )
+            from marlnav_tpu.ops.step_math import LANE, SUB
+
+            def tile_env(x, rows):
+                nb = p // (SUB * LANE)
+                return (x.reshape(t, rows, nb, SUB, LANE)
+                        .transpose(0, 1, 3, 2, 4)
+                        .reshape(t, rows, SUB, nb * LANE))
+
+            tiled = jax.block_until_ready((
+                tile_env(buf.obs.transpose(0, 2, 3, 1)
+                         .reshape(t, A * OBS, p), A * OBS),
+                tile_env(buf.actions.transpose(0, 2, 3, 1)
+                         .reshape(t, 2 * A, p), 2 * A),
+                tile_env(buf.log_probs.reshape(t, p, A)
+                         .transpose(0, 2, 1), A),
+            ))
+            from marlnav_tpu.ops.fused_update_tiled import TiledRollout
+
+            tiled = TiledRollout(*tiled)
+            tat = make_tiled_actor_trainer(cfg, interpret=False)
+            a = bench(f"actor  {tag:10s}",
+                      jax.jit(lambda ts, b: tat(ts, b, tiled)), ts, buf,
+                      args.iters, args.device_time)
+            results[tag] = (a, results.get("fused", (None, None))[1])
+            continue
         a = bench(f"actor  {tag:10s}", jax.jit(mappo.train_actor), ts, buf,
                   args.iters, args.device_time)
         c = bench(f"critic {tag:10s}", jax.jit(mappo.train_critic), ts, buf,
@@ -128,7 +160,7 @@ def main():
     if "fp32" in results:
         a32, c32 = results["fp32"]
         for tag, (a, c) in results.items():
-            if tag == "fp32":
+            if tag == "fp32" or c is None:
                 continue
             print(f"{tag}: actor {a32 / a:.2f}x, critic {c32 / c:.2f}x, "
                   f"phase total {(a32 + c32) / (a + c):.2f}x")
