@@ -91,6 +91,7 @@ def test_train_driver_tiled_path(tmp_path, monkeypatch):
     phase through the tiled trainer — smoke both the per-repeat and the
     jit_repeats (train_many) branches end to end (interpret on CPU)."""
     monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("MARLNAV_TILED_UPDATES", "1")
     from marlnav_tpu.__main__ import build_parser
     from marlnav_tpu.config import resolve_run_config
     from marlnav_tpu.train import train
