@@ -62,9 +62,53 @@ for (P, T, epochs, kw, tag) in (
     print(f"{tag}: {best*1e3:.2f} ms/repeat (device) = {T*P/best/1e6:.1f}M steps/s", flush=True)
 EOF
 
-echo "=== 3. train.py end-to-end (default + GAE, tiled path) ==="
-timeout 2400 python /tmp/bench_train_default.py 2>&1 | grep -v WARNING | tail -3
-timeout 2400 python /tmp/bench_train_gae.py 2>&1 | grep -v WARNING | tail -3
+echo "=== 3. train.py end-to-end (default + GAE; set MARLNAV_TILED_UPDATES=1 to bench the tiled path) ==="
+timeout 2400 python - <<'PYEOF' 2>&1 | grep -v WARNING | tail -3
+import os, sys, time, tempfile
+sys.path.insert(0, "/root/repo")
+from marlnav_tpu.__main__ import build_parser
+from marlnav_tpu.config import resolve_run_config
+from marlnav_tpu.train import train
+R = 30
+args = build_parser().parse_args([
+    "-np", "1024", "-bl", "1000", "-bs", "1000", "-ne", "50",
+    "-nt", str(1000 * 1024 * R), "-se", "11",
+    "--fused-collect", "--fused-updates"])
+cfg = resolve_run_config(args)
+cwd = os.getcwd()
+with tempfile.TemporaryDirectory() as tmp:
+    os.chdir(tmp)
+    try:
+        t0 = time.perf_counter()
+        train(cfg, verbose=True, jit_repeats=10)
+        print(f"total {time.perf_counter()-t0:.1f}s for {R} repeats", flush=True)
+    finally:
+        os.chdir(cwd)
+PYEOF
+timeout 2400 python - <<'PYEOF' 2>&1 | grep -v WARNING | tail -3
+import os, sys, time, tempfile
+sys.path.insert(0, "/root/repo")
+from marlnav_tpu.__main__ import build_parser
+from marlnav_tpu.config import resolve_run_config
+from marlnav_tpu.train import train
+R = 75
+args = build_parser().parse_args([
+    "-np", "2048", "-bl", "200", "-bs", "200", "-ne", "10",
+    "-nt", str(200 * 2048 * R), "-lr", "0.0003", "-g", "0.99",
+    "-ep", "0.2", "-se", "13",
+    "--use-gae", "--fixed-semantics", "--staggered-resets",
+    "--fused-collect", "--fused-updates"])
+cfg = resolve_run_config(args)
+cwd = os.getcwd()
+with tempfile.TemporaryDirectory() as tmp:
+    os.chdir(tmp)
+    try:
+        t0 = time.perf_counter()
+        train(cfg, verbose=True, jit_repeats=25, fused_collect=True)
+        print(f"total {time.perf_counter()-t0:.1f}s for {R} repeats", flush=True)
+    finally:
+        os.chdir(cwd)
+PYEOF
 
 echo "=== 4. TPU checks (updates + mesh) still green ==="
 timeout 1200 python scripts/check_tpu_updates.py 2>&1 | tail -1
