@@ -60,6 +60,40 @@ def rand_buffer(seed):
     )
 
 
+def test_bd_chan_chan_structure():
+    """The channel-channel block-diagonal expansion routes A[c, f] to
+    exactly the (c*G+g, f*G+g) entries — the operator the channel-major
+    obs rows need."""
+    from marlnav_tpu.ops.fused_update_tiled import (
+        _bd_chan_chan,
+        _unpack_chan_chan,
+    )
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(4, 12)), jnp.float32)
+    g = 8
+    bd = np.asarray(_bd_chan_chan(a, g))
+    for c in range(4):
+        for f in range(12):
+            for g1 in range(g):
+                for g2 in range(g):
+                    want = float(a[c, f]) if g1 == g2 else 0.0
+                    assert bd[c * g + g1, f * g + g2] == want
+    # unpack inverts the diagonal-block sum
+    np.testing.assert_allclose(np.asarray(_unpack_chan_chan(
+        jnp.asarray(bd), 4, 12, g)), np.asarray(a) * g, rtol=1e-6)
+
+
+def test_time_window_divisors():
+    from marlnav_tpu.ops.fused_update_tiled import _time_window
+
+    assert _time_window(1000) == 8
+    assert _time_window(999) == 3  # faithful default config (T-1)
+    assert _time_window(200) == 8
+    assert _time_window(7) == 7
+    assert _time_window(1) == 1
+
+
 @pytest.mark.parametrize("faithful", [True, False])
 def test_tiled_actor_phase_matches_staged(faithful):
     """Full tiled training phase == the staged fused train_actor, to
