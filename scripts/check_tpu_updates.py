@@ -188,6 +188,18 @@ def main():
         kl, kg = jax.jit(kern, static_argnums=2)(critic, staged, n)
         check(f"critic/g1/{tag}", kl, kg, ref_l, ref_g)
 
+        # bf16-staged critic obs (MARLNAV_CRITIC_BF16_STAGE): validates the
+        # Mosaic bf16 VMEM-load lowering for the (G*A*obs, C) block; the
+        # reference recomputes from obs rounded through bf16, so the same
+        # leaf-norm tolerance applies.
+        mb_r = mb._replace(obs=mb.obs.astype(jnp.bfloat16)
+                           .astype(jnp.float32))
+        ref_l, ref_g = jax.jit(jax.value_and_grad(critic_loss),
+                               static_argnums=2)(critic, mb_r, cfg)
+        staged, n = stage_critic_minibatch(mb, cfg, stage_bf16=True)
+        kl, kg = jax.jit(kern, static_argnums=2)(critic, staged, n)
+        check(f"critic/sbf16/{tag}", kl, kg, ref_l, ref_g)
+
     failed = [r["check"] for r in results if not r["ok"]]
     summary = {"all_ok": not failed, "failed": failed,
                "n_checks": len(results)}
