@@ -97,16 +97,16 @@ def train(
         # phase consumes the collect kernel's native tile outputs directly
         # — the canonical->staged relayouts (~15.6 ms of the default-config
         # repeat, BASELINE.md) disappear.  Mesh keeps the staged path (the
-        # tiled trainer is single-shard).  Gated opt-in
-        # (MARLNAV_TILED_UPDATES=1) until the Mosaic lowering is validated
-        # on hardware — CPU-interpret parity is green, but the real-TPU
-        # compile is still queued behind a tunnel outage; flip the default
-        # once scripts/bench_updates.py --variants tiled runs clean.
+        # tiled trainer is single-shard).  Hardware-validated and DEFAULT
+        # since the v5e composed-repeat bench (scripts/bench_composed.py):
+        # tiled beats staged 1.22x (default config, 20.0M steps/s), 1.81x
+        # (GAE, 37.5M), 2.99x (GAE-16k, 67.3M) — see BASELINE.md.  Opt out
+        # with MARLNAV_TILED_UPDATES=0.
         import os as _os
 
         tiled_path = (cfg.model.fused_updates and mesh is None
                       and cfg.model.batch_size == cfg.model.buffer_len
-                      and _os.environ.get("MARLNAV_TILED_UPDATES") == "1")
+                      and _os.environ.get("MARLNAV_TILED_UPDATES") != "0")
         fc = make_fused_collect(
             cfg.model, cfg.env, cfg.init, cfg.normalizer, cfg.scaler,
             interpret=interpret, mesh=mesh, return_tiled=tiled_path)

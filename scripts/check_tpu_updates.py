@@ -98,13 +98,13 @@ EPS = 0.2  # clip band wide enough to dominate the ~6e-3 bf16-pass shift
 MARGIN = 0.03
 
 
-def robust_buffer(seed, actor, critic):
+def robust_buffer(seed, actor, critic, t=T, p=P):
     """Random buffer with every branch decision at least MARGIN away from
     its boundary (or exactly ON the fp-exact tie point), judged by an f64
     mirror of the forwards."""
     rng = np.random.default_rng(seed)
-    obs = rng.normal(size=(T, P, A, OBS)).astype(np.float32)
-    actions = rng.uniform(-1, 1, (T, P, A, 2)).astype(np.float32)
+    obs = rng.normal(size=(t, p, A, OBS)).astype(np.float32)
+    actions = rng.uniform(-1, 1, (t, p, A, 2)).astype(np.float32)
 
     # f64 actor mirror -> true log-probs of the stored actions
     x = obs.reshape(-1, OBS).astype(np.float64)
@@ -128,7 +128,7 @@ def robust_buffer(seed, actor, critic):
                   & (np.abs(ratio - (1 + EPS)) > MARGIN))
 
     # f64 critic mirror -> per-row values
-    xc = obs.reshape(T * P, A * OBS).astype(np.float64)
+    xc = obs.reshape(t * p, A * OBS).astype(np.float64)
     hc = np.maximum(xc @ np.asarray(critic.fc1.w, np.float64)
                     + np.asarray(critic.fc1.b, np.float64), 0.0)
     v = (hc @ np.asarray(critic.fc2.w, np.float64)
@@ -148,10 +148,10 @@ def robust_buffer(seed, actor, critic):
     return Buffer(
         obs=jnp.asarray(obs),
         actions=jnp.asarray(actions),
-        log_probs=jnp.asarray(lp_b.reshape(T, P * A), jnp.float32),
-        values=jnp.asarray(vold.reshape(T, P, 1), jnp.float32),
-        returns=jnp.asarray(ret.reshape(T, P), jnp.float32),
-        done=jnp.asarray(rng.uniform(size=(T, P)) < 0.2),
+        log_probs=jnp.asarray(lp_b.reshape(t, p * A), jnp.float32),
+        values=jnp.asarray(vold.reshape(t, p, 1), jnp.float32),
+        returns=jnp.asarray(ret.reshape(t, p), jnp.float32),
+        done=jnp.asarray(rng.uniform(size=(t, p)) < 0.2),
     )
 
 
@@ -199,6 +199,50 @@ def main():
         staged, n = stage_critic_minibatch(mb, cfg, stage_bf16=True)
         kl, kg = jax.jit(kern, static_argnums=2)(critic, staged, n)
         check(f"critic/sbf16/{tag}", kl, kg, ref_l, ref_g)
+
+    # Tiled actor path (ops/fused_update_tiled.py): the production layout
+    # needs the env axis in 1024-wide tiles (p = block*1024 + sub*128 +
+    # lane), so it gets its own buffer at P=1024.  The kernel is the
+    # affine chain re-gridded over (time window, env block), so the
+    # affine tolerance class applies.
+    from marlnav_tpu.ops.fused_update_tiled import (
+        TiledRollout,
+        make_tiled_actor_grad,
+        stage_adv_tiled,
+    )
+    from marlnav_tpu.ops.step_math import LANE, SUB
+
+    tp, tt = 1024, 8
+
+    def tile_env_axis(x):
+        t, rows, p = x.shape
+        nb = p // (SUB * LANE)
+        return (x.reshape(t, rows, nb, SUB, LANE).transpose(0, 1, 3, 2, 4)
+                .reshape(t, rows, SUB, nb * LANE))
+
+    buf_t = robust_buffer(1, actor, critic, t=tt, p=tp)
+    for faithful in (True, False):
+        cfg = MAPPOConfig(num_agents=A, num_parallel=tp, obs_size=OBS,
+                          hidden_size=H, num_total=tt * tp, buffer_len=tt,
+                          num_epochs=2, batch_size=tt, faithful=faithful,
+                          epsilon=EPS)
+        tag = "faithful" if faithful else "fixed"
+        mb = minibatch_slices(buf_t, cfg)[0]  # full batch (last step
+        # dropped when faithful — same slice the tiled trainer takes)
+        size = mb.obs.shape[0]
+        ref_l, ref_g = jax.jit(jax.value_and_grad(actor_loss),
+                               static_argnums=2)(actor, mb, cfg)
+        tiled = TiledRollout(
+            tile_env_axis(np.asarray(mb.obs).transpose(0, 2, 3, 1)
+                          .reshape(size, A * OBS, tp)),
+            tile_env_axis(np.asarray(mb.actions).transpose(0, 2, 3, 1)
+                          .reshape(size, 2 * A, tp)),
+            tile_env_axis(np.asarray(mb.log_probs).reshape(size, tp, A)
+                          .transpose(0, 2, 1)))
+        adv_t = stage_adv_tiled(mb.returns, mb.values, cfg)
+        kern = make_tiled_actor_grad(cfg, interpret=False)
+        kl, kg = jax.jit(kern)(actor, tiled, adv_t)
+        check(f"actor/tiled/{tag}", kl, kg, ref_l, ref_g)
 
     failed = [r["check"] for r in results if not r["ok"]]
     summary = {"all_ok": not failed, "failed": failed,

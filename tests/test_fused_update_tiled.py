@@ -122,10 +122,12 @@ def test_tiled_actor_phase_matches_staged(faithful):
 
 def test_train_driver_tiled_path(tmp_path, monkeypatch):
     """train(fused_collect+fused_updates, full batch) routes the actor
-    phase through the tiled trainer — smoke both the per-repeat and the
-    jit_repeats (train_many) branches end to end (interpret on CPU)."""
+    phase through the tiled trainer BY DEFAULT (hardware-validated in r2;
+    opt out with MARLNAV_TILED_UPDATES=0) — smoke both the per-repeat and
+    the jit_repeats (train_many) branches end to end (interpret on CPU),
+    plus the opt-out staged path."""
     monkeypatch.chdir(tmp_path)
-    monkeypatch.setenv("MARLNAV_TILED_UPDATES", "1")
+    monkeypatch.delenv("MARLNAV_TILED_UPDATES", raising=False)
     from marlnav_tpu.__main__ import build_parser
     from marlnav_tpu.config import resolve_run_config
     from marlnav_tpu.train import train
@@ -142,6 +144,13 @@ def test_train_driver_tiled_path(tmp_path, monkeypatch):
                           allow_interpret=True, jit_repeats=2)
     assert len(logger2.logs["mean_rews"]) == 4
     assert np.isfinite(logger2.logs["mean_rews"]).all()
+    # Opt-out keeps the staged update path (same losses modulo fp
+    # reassociation; just smoke it end to end).
+    monkeypatch.setenv("MARLNAV_TILED_UPDATES", "0")
+    _, _, logger3 = train(cfg, verbose=False, fused_collect=True,
+                          allow_interpret=True)
+    assert len(logger3.logs["mean_rews"]) == 4
+    assert np.isfinite(logger3.logs["mean_rews"]).all()
 
 
 def test_collect_return_tiled_matches_buffer():

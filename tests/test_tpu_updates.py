@@ -6,8 +6,9 @@ the Pallas INTERPRETER; production runs the Mosaic hardware lowering,
 which this wrapper validates by running scripts/check_tpu_updates.py in
 a subprocess with a clean environment (the test conftest pins this
 process to CPU before backend init).  Covers all three actor layouts
-(packed / undilated / affine) x faithful / fixed advantage pairing plus
-the critic, against jax.value_and_grad of the XLA losses computed on the
+(packed / undilated / affine) x faithful / fixed advantage pairing, the
+tiled actor path, plus the critic (f32 and bf16-staged obs), against
+jax.value_and_grad of the XLA losses computed on the
 same TPU, with branch-robust data and leaf-norm-scaled tolerances (see
 the script's docstring for why both are necessary on hardware).
 """
@@ -45,5 +46,7 @@ def test_tpu_update_kernel_parity():
     assert summary.get("all_ok"), (
         f"failed checks {summary.get('failed')}; full output:\n"
         + proc.stdout)
-    assert summary.get("n_checks") == 8
+    # (3 actor layouts + critic f32 + critic sbf16) x 2 pairings
+    # + tiled actor x 2 pairings
+    assert summary.get("n_checks") == 12
     assert proc.returncode == 0
