@@ -83,6 +83,7 @@ def make_fused_collect(
     mesh=None,
     axis: str = "data",
     return_tiled: bool = False,
+    generic_interpret: bool = False,
 ):
     """Build ``collect(ts, rows, seed[, noise]) -> (rows', Buffer,
     RolloutMetrics)`` — a drop-in for ``MAPPO.collect`` operating on the
@@ -97,9 +98,23 @@ def make_fused_collect(
 
     With ``return_tiled`` the collect additionally returns the kernel's
     RAW per-step obs/actions/log-probs (a ``TiledRollout``, zero extra
-    cost — they are the pre-untile outputs), which the tiled actor-update
-    path consumes directly (ops/fused_update_tiled.py), bypassing the
-    canonical->staged relayouts."""
+    cost — they are the pre-untile outputs), which the tiled update path
+    consumes directly (ops/fused_update_tiled.py), bypassing the
+    canonical->staged relayouts.
+
+    ``generic_interpret`` (requires ``noise_input``) runs the kernel
+    under Pallas's GENERIC interpreter — pure traced JAX, no TPU-core
+    simulator — instead of ``pltpu.InterpretParams()``.  The simulator's
+    shared-memory io_callbacks wedge when shard_map runs concurrent
+    kernel instances (the r2 deadlock, CLAUDE.md); the generic
+    interpreter has no shared runtime state, so it is the ONLY mode in
+    which the collect kernel's mesh path executes at >1 shard off-TPU —
+    tests/test_fused_collect_mesh.py's coverage of the §2.6 DP row."""
+    if generic_interpret and not noise_input:
+        raise ValueError("generic_interpret requires noise_input=True "
+                         "(the generic interpreter has no in-kernel PRNG)")
+    interp_param = (True if generic_interpret
+                    else pltpu.InterpretParams() if interpret else False)
     sm = StepMath(env_params, init_cfg, normalizer_cfg, scaler_cfg)
     a, o, n_rows, n_draws = sm.a, sm.o, sm.n_rows, sm.n_draws
     num_steps = cfg.buffer_len
@@ -125,8 +140,12 @@ def make_fused_collect(
         chunk_id = pl.program_id(1)
         # Independent stream per (seed, block, chunk) — chunks would
         # otherwise repeat their noise after each reseed.  Mosaic folds at
-        # most 2 seed values, so block/chunk combine into one.
-        pltpu.prng_seed(seed_ref[0], block_id * n_chunks + chunk_id)
+        # most 2 seed values, so block/chunk combine into one.  Under the
+        # GENERIC interpreter there is no PRNG implementation at all —
+        # host noise replaces every draw, so seeding is skipped (a no-op
+        # on the draw-free path either way).
+        if not generic_interpret:
+            pltpu.prng_seed(seed_ref[0], block_id * n_chunks + chunk_id)
 
         @pl.when(chunk_id == 0)
         def _():
@@ -208,7 +227,8 @@ def make_fused_collect(
                            nsp, obx, oby, step_num, new_latch, u)
             return 0
 
-        jax.lax.fori_loop(0, t_chunk, step, 0, unroll=bool(interpret))
+        jax.lax.fori_loop(0, t_chunk, step, 0,
+                          unroll=bool(interpret or generic_interpret))
 
         # State + stats outputs' block index ignores the chunk dimension;
         # flush only after a block's LAST chunk (mirroring the chunk-0
@@ -294,7 +314,7 @@ def make_fused_collect(
                 pltpu.VMEM((n_rows, SUB, LANE), jnp.float32),
                 pltpu.VMEM((3, SUB, LANE), jnp.float32),
             ],
-            interpret=pltpu.InterpretParams() if interpret else False,
+            interpret=interp_param,
         )(
             jnp.asarray([seed], jnp.int32),
             rows.px, rows.py, rows.dx, rows.dy, rows.sp,

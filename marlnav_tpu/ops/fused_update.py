@@ -374,6 +374,32 @@ def _ppo_chain(u, s, act, lp_b, adv, mask, g, eps, ent_c):
     return loss_sum, g_u, g_s
 
 
+def _critic_chain(v, vold, ret, mask, eps):
+    """The clipped-value loss's elementwise forward-from-values and
+    hand-derived backward (reference models.py:301-316), on whatever tile
+    shape the caller's layout produces.  Shared by the staged critic
+    kernel and the tiled one (ops/fused_update_tiled.py).  Returns
+    ``(loss_sum (1, 1), g_v same shape as v)``."""
+    lo, hi = vold - eps, vold + eps
+    clamped = jnp.clip(v, lo, hi)
+    e1 = v - ret
+    e2 = clamped - ret
+    d1 = e1 * e1
+    d2 = e2 * e2
+    loss_sum = jnp.sum(jnp.maximum(d1, d2) * mask, axis=None,
+                       keepdims=False).reshape(1, 1)
+
+    # max ties balanced; d clamp/d v with boundary halves as in clip.
+    w_d2, w_d1 = _balanced_sel(d1, d2)  # max: weight on larger
+    inside = ((v > lo).astype(jnp.float32)
+              * (v < hi).astype(jnp.float32))
+    on_edge = ((v == lo).astype(jnp.float32)
+               + (v == hi).astype(jnp.float32))
+    dclamp = inside + 0.5 * on_edge
+    g_v = mask * 2.0 * (w_d1 * e1 + w_d2 * e2 * dclamp)
+    return loss_sum, g_v
+
+
 def _dot(a: jax.Array, b: jax.Array, dims, dtype=None):
     if dtype is not None:
         a, b = a.astype(dtype), b.astype(dtype)
@@ -740,25 +766,8 @@ def make_fused_critic_grad(cfg: MAPPOConfig, interpret: bool = False,
         h = jnp.maximum(pre, 0.0)
         v = _dot(w2bd[:], h, ((1,), (0,)), dtype) + b2p[:]  # (G, C)
 
-        ret = ret_ref[:]
-        vold = vold_ref[:]
-        lo, hi = vold - eps, vold + eps
-        clamped = jnp.clip(v, lo, hi)
-        e1 = v - ret
-        e2 = clamped - ret
-        d1 = e1 * e1
-        d2 = e2 * e2
-        loss_out[:] += jnp.sum(jnp.maximum(d1, d2) * mask,
-                               axis=(0, 1), keepdims=True)
-
-        # max ties balanced; d clamp/d v with boundary halves as in clip.
-        w_d2, w_d1 = _balanced_sel(d1, d2)  # max: weight on larger
-        inside = ((v > lo).astype(jnp.float32)
-                  * (v < hi).astype(jnp.float32))
-        on_edge = ((v == lo).astype(jnp.float32)
-                   + (v == hi).astype(jnp.float32))
-        dclamp = inside + 0.5 * on_edge
-        g_v = mask * 2.0 * (w_d1 * e1 + w_d2 * e2 * dclamp)  # (G, C)
+        loss_sum, g_v = _critic_chain(v, vold_ref[:], ret_ref[:], mask, eps)
+        loss_out[:] += loss_sum  # g_v (G, C)
 
         g_h = _dot(w2bd[:], g_v, ((0,), (0,)), dtype)  # (G*H, C)
         # (h > 0) == (pre > 0) exactly for relu, so pre need not be kept

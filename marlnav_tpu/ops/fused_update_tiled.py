@@ -52,6 +52,8 @@ from marlnav_tpu.config import MAPPOConfig
 from marlnav_tpu.ops.fused_update import (
     _affine_compose,
     _affine_recompose,
+    _critic_chain,
+    _dot,
     _pair_rows,
     _ppo_chain,
 )
@@ -184,6 +186,163 @@ def make_tiled_actor_grad(cfg: MAPPOConfig, interpret: bool = False):
             lambda g_: g_ * inv_n, _affine_recompose(params, dz, dzs))
 
     return grad
+
+
+def stage_vr_tiled(x: jax.Array) -> jax.Array:
+    """(T, P) per-(step, env) scalars (values / returns) -> the tile layout
+    (T, 8, NB*128) the collect kernel's outputs use (inverse of
+    fused_rollout.untile: p = block*1024 + sublane*128 + lane).  A 4 MB
+    relayout at the default config — vs the 147 MB obs stream the tiled
+    path avoids staging."""
+    t, p = x.shape
+    nb = p // (SUB * LANE)
+    return (x.reshape(t, nb, SUB, LANE).transpose(0, 2, 1, 3)
+            .reshape(t, SUB, nb * LANE))
+
+
+def make_tiled_critic_grad(cfg: MAPPOConfig, interpret: bool = False):
+    """Build ``grad(params, obs_tiles, vold_t, ret_t) -> (loss,
+    CriticParams grads)`` over the FULL buffer — the tiled counterpart of
+    ops/fused_update.make_fused_critic_grad (clipped-value loss, reference
+    models.py:301-316), consuming the collect kernel's native obs tiles.
+
+    The critic's measured-best staged layout is G=1 (no sublane packing:
+    it is matmul-bound and block-diagonal dilation only multiplies its
+    MACs — fused_update.py module notes).  The tile layout reaches that
+    same undilated shape FOR FREE: per (t, env block), the (A*F, 8, 128)
+    obs tile reshapes row-major to (A*F, 1024) — features on rows, the
+    8x128 envs unrolled onto lanes — which is exactly the G=1 kernel's
+    feature-major operand, so the matmuls run PLAIN weights with no
+    dilation and no staging relayout.  The per-row tensors (values,
+    returns) stage through the 4 MB ``stage_vr_tiled`` relayout and the
+    elementwise chain runs on full-density (8, 128) tiles (the (1, 1024)
+    head row refolds to (8, 128) by another pure reshape).
+    """
+    a_ag, obs_size = cfg.num_agents, cfg.obs_size
+    in_size = a_ag * obs_size
+    eps = cfg.epsilon
+    dtype = jnp.bfloat16 if cfg.bf16_updates else None
+
+    def kernel(obs_ref, vold_ref, ret_ref, w1t, b1, w2t, b2,
+               loss_out, dw1, db1, dw2, db2):
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _():
+            for o in (loss_out, dw1, db1, dw2, db2):
+                o[:] = jnp.zeros_like(o)
+
+        tw = obs_ref.shape[0]
+        ones = jnp.ones((SUB, LANE), jnp.float32)  # no padding: mask == 1
+        for t in range(tw):
+            x = obs_ref[t].reshape(in_size, SUB * LANE)  # (A*F, 1024)
+            pre = _dot(w1t[:], x, ((1,), (0,)), dtype) + b1[:]  # (H, 1024)
+            h = jnp.maximum(pre, 0.0)
+            v_l = _dot(w2t[:], h, ((1,), (0,)), dtype) + b2[:]  # (1, 1024)
+
+            loss_sum, g_v = _critic_chain(
+                v_l.reshape(SUB, LANE), vold_ref[t], ret_ref[t], ones, eps)
+            loss_out[:] += loss_sum
+            g_v_l = g_v.reshape(1, SUB * LANE)  # sublane->lane refold back
+
+            g_h = _dot(w2t[:], g_v_l, ((0,), (0,)), dtype)  # (H, 1024)
+            # (h > 0) == (pre > 0) exactly for relu; relu'(0) = 0.
+            g_pre = g_h * (h > 0.0).astype(jnp.float32)
+
+            dw2[:] += _dot(g_v_l, h, ((1,), (1,)), dtype)  # (1, H)
+            db2[:] += jnp.sum(g_v_l, axis=1, keepdims=True)
+            dw1[:] += _dot(g_pre, x, ((1,), (1,)), dtype)  # (H, A*F)
+            db1[:] += jnp.sum(g_pre, axis=1, keepdims=True)
+
+    def grad(params, obs_tiles: jax.Array, vold_t: jax.Array,
+             ret_t: jax.Array):
+        from marlnav_tpu.models.networks import CriticParams, Dense
+
+        h_size = params.fc1.w.shape[1]
+        t, rows, sub, nbl = obs_tiles.shape
+        assert rows == in_size and sub == SUB
+        nb = nbl // LANE
+        tw = _time_window(t)
+        grid = (t // tw, nb)
+        n_rows = t * nbl * SUB
+
+        def tile_spec(rdim):
+            return pl.BlockSpec((tw, rdim, SUB, LANE),
+                                lambda i, j: (i, 0, 0, j),
+                                memory_space=pltpu.VMEM)
+
+        def vr_spec():
+            return pl.BlockSpec((tw, SUB, LANE), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)
+
+        def full(shape):
+            return pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
+                                memory_space=pltpu.VMEM)
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tile_spec(in_size), vr_spec(), vr_spec(),
+                      full((h_size, in_size)), full((h_size, 1)),
+                      full((1, h_size)), full((1, 1))],
+            out_specs=[full((1, 1)),
+                       full((h_size, in_size)), full((h_size, 1)),
+                       full((1, h_size)), full((1, 1))],
+            out_shape=[jax.ShapeDtypeStruct(sh, jnp.float32) for sh in
+                       ((1, 1), (h_size, in_size), (h_size, 1),
+                        (1, h_size), (1, 1))],
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(
+            obs_tiles, vold_t, ret_t,
+            params.fc1.w.T, params.fc1.b[:, None],
+            params.fc2.w.T, params.fc2.b[:, None],
+        )
+        loss, dw1, db1, dw2, db2 = outs
+        inv_n = 1.0 / n_rows
+        return loss[0, 0] * inv_n, jax.tree.map(
+            lambda g_: g_ * inv_n,
+            CriticParams(fc1=Dense(dw1.T, db1[:, 0]),
+                         fc2=Dense(dw2.T, db2[0, :])))
+
+    return grad
+
+
+def make_tiled_critic_trainer(cfg: MAPPOConfig, interpret: bool | None = None):
+    """Build ``train(ts, buffer, tiled) -> (ts, losses)`` — the drop-in
+    for ``MAPPO.train_critic`` when the buffer came from
+    ``make_fused_collect(..., return_tiled=True)``.  Full-batch only,
+    like the tiled actor trainer.  With BOTH tiled trainers active the
+    canonical buffer's obs/actions/log_probs become dead values inside
+    the jitted repeat, so XLA drops the collect's big untile relayouts
+    entirely (returns processing needs only rewards/values/done)."""
+    if cfg.batch_size != cfg.buffer_len:
+        raise NotImplementedError(
+            "the tiled update path is full-batch only "
+            f"(batch_size {cfg.batch_size} != buffer_len {cfg.buffer_len})")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    tx = optax.adam(cfg.lr)  # same construction as make_mappo's critic_tx
+    kernel_grad = make_tiled_critic_grad(cfg, interpret=interpret)
+
+    # Faithful last-step drop (reference models.py:167-171, replicated by
+    # algo/mappo.py minibatch_slices): the full-batch slice ends at -1.
+    size = cfg.buffer_len - 1 if cfg.faithful else cfg.buffer_len
+
+    def train(ts, buffer, tiled: TiledRollout):
+        obs_tiles = tiled.obs[:size]
+        vold_t = stage_vr_tiled(buffer.values[:size, :, 0])
+        ret_t = stage_vr_tiled(buffer.returns[:size])
+
+        def epoch(carry, _):
+            params, opt = carry
+            loss, grads = kernel_grad(params, obs_tiles, vold_t, ret_t)
+            updates, opt = tx.update(grads, opt, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt), loss
+
+        (params, opt), losses = jax.lax.scan(
+            epoch, (ts.critic, ts.critic_opt), None, length=cfg.num_epochs)
+        return ts._replace(critic=params, critic_opt=opt), losses
+
+    return train
 
 
 def make_tiled_actor_trainer(cfg: MAPPOConfig, interpret: bool | None = None):

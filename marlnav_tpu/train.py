@@ -92,30 +92,46 @@ def train(
                 "whose in-kernel PRNG is DEGENERATE (constant noise); "
                 "refusing to train on it.  Pass --allow-interpret for "
                 "smoke tests only.")
-        # Tiled actor updates (ops/fused_update_tiled.py): when the actor
-        # update is also fused and minibatches are full-batch, the actor
-        # phase consumes the collect kernel's native tile outputs directly
-        # — the canonical->staged relayouts (~15.6 ms of the default-config
-        # repeat, BASELINE.md) disappear.  Mesh keeps the staged path (the
-        # tiled trainer is single-shard).  Hardware-validated and DEFAULT
-        # since the v5e composed-repeat bench (scripts/bench_composed.py):
-        # tiled beats staged 1.22x (default config, 20.0M steps/s), 1.81x
-        # (GAE, 37.5M), 2.99x (GAE-16k, 67.3M) — see BASELINE.md.  Opt out
-        # with MARLNAV_TILED_UPDATES=0.
+        # Tiled updates (ops/fused_update_tiled.py): when the updates are
+        # also fused and minibatches are full-batch, both update phases
+        # consume the collect kernel's native tile outputs directly — the
+        # canonical->staged relayouts (~15.6 ms of the default-config
+        # repeat, BASELINE.md) disappear, and with BOTH phases tiled the
+        # buffer's big obs/actions/log_probs untiles become dead code that
+        # XLA drops from the repeat.  Mesh keeps the staged path (the
+        # tiled trainers are single-shard).  Hardware-validated and
+        # DEFAULT since the v5e composed-repeat benches
+        # (scripts/bench_composed.py; numbers in BASELINE.md).  Opt out
+        # with MARLNAV_TILED_UPDATES=0 (accepted: 0 / false / off).
         import os as _os
 
-        tiled_path = (cfg.model.fused_updates and mesh is None
-                      and cfg.model.batch_size == cfg.model.buffer_len
-                      and _os.environ.get("MARLNAV_TILED_UPDATES") != "0")
+        tiled_eligible = (cfg.model.fused_updates and mesh is None
+                          and cfg.model.batch_size == cfg.model.buffer_len)
+        tiled_path = (tiled_eligible
+                      and _os.environ.get("MARLNAV_TILED_UPDATES", "1")
+                      .lower() not in ("0", "false", "off", ""))
+        if cfg.model.fused_updates and not tiled_path and verbose:
+            # The fallback is correct but slower — say so instead of
+            # silently routing a mesh / sliced-minibatch run to it.
+            why = ("disabled by MARLNAV_TILED_UPDATES" if tiled_eligible
+                   else "mesh" if mesh is not None
+                   else f"sliced minibatches (batch_size "
+                        f"{cfg.model.batch_size} != buffer_len "
+                        f"{cfg.model.buffer_len})")
+            print(f"tiled update path ineligible ({why}); "
+                  "using the staged fused-update path")
         fc = make_fused_collect(
             cfg.model, cfg.env, cfg.init, cfg.normalizer, cfg.scaler,
             interpret=interpret, mesh=mesh, return_tiled=tiled_path)
         if tiled_path:
             from marlnav_tpu.ops.fused_update_tiled import (
                 make_tiled_actor_trainer,
+                make_tiled_critic_trainer,
             )
 
             train_actor_tiled = jax.jit(make_tiled_actor_trainer(
+                cfg.model, interpret=interpret))
+            train_critic_tiled = jax.jit(make_tiled_critic_trainer(
                 cfg.model, interpret=interpret))
         # Checkpoints always store the canonical EnvState layout (the rows
         # layout is a kernel-internal detail), so resumes work across a
@@ -161,11 +177,12 @@ def train(
                     env_state, buffer, metrics, tiled = fc(
                         ts, env_state, base_seed + r)
                     ts, al = train_actor_tiled(ts, buffer, tiled)
+                    ts, cl = train_critic_tiled(ts, buffer, tiled)
                 else:
                     env_state, buffer, metrics = fc(ts, env_state,
                                                     base_seed + r)
                     ts, al = mappo.train_actor(ts, buffer)
-                ts, cl = mappo.train_critic(ts, buffer)
+                    ts, cl = mappo.train_critic(ts, buffer)
                 return (ts, env_state), (metrics, al, cl)
 
             repeats = start_repeat_ + jnp.arange(n, dtype=jnp.int32)
@@ -230,10 +247,11 @@ def train(
                 env_state, buffer, metrics, tiled = collect(
                     ts, env_state, repeat)
                 ts, actor_losses = train_actor_tiled(ts, buffer, tiled)
+                ts, critic_losses = train_critic_tiled(ts, buffer, tiled)
             else:
                 env_state, buffer, metrics = collect(ts, env_state, repeat)
                 ts, actor_losses = train_actor(ts, buffer)
-            ts, critic_losses = train_critic(ts, buffer)
+                ts, critic_losses = train_critic(ts, buffer)
             per_repeat = [jax.device_get(
                 (metrics, actor_losses, critic_losses))]
         else:

@@ -18,6 +18,9 @@ Usage:  python scripts/bench_composed.py [--variants fused,tiled,...]
 
 Variants: fused        collect -> canonical buffer -> staged updates
           tiled        collect(return_tiled) -> tiled actor + staged critic
+          tiled2       collect(return_tiled) -> tiled actor + tiled critic
+                       (the obs/actions/log_probs untiles go dead and XLA
+                       drops them from the repeat entirely)
           fused+sbf16  fused with the critic obs staged in bf16
 """
 
@@ -76,15 +79,26 @@ def build(tag, variant):
     fc = make_fused_collect(cfg, ep, icfg, NormalizerConfig(), ScalerConfig(),
                             interpret=interpret, return_tiled=tiled_path)
     if tiled_path:
-        from marlnav_tpu.ops.fused_update_tiled import make_tiled_actor_trainer
+        from marlnav_tpu.ops.fused_update_tiled import (
+            make_tiled_actor_trainer,
+            make_tiled_critic_trainer,
+        )
 
         tat = make_tiled_actor_trainer(cfg, interpret=interpret)
+        if variant.startswith("tiled2"):
+            tct = make_tiled_critic_trainer(cfg, interpret=interpret)
 
-        def repeat(ts, rows, seed):
-            rows, buf, met, tiles = fc(ts, rows, seed)
-            ts, al = tat(ts, buf, tiles)
-            ts, cl = mappo.train_critic(ts, buf)
-            return ts, rows, al[-1] + cl[-1]
+            def repeat(ts, rows, seed):
+                rows, buf, met, tiles = fc(ts, rows, seed)
+                ts, al = tat(ts, buf, tiles)
+                ts, cl = tct(ts, buf, tiles)
+                return ts, rows, al[-1] + cl[-1]
+        else:
+            def repeat(ts, rows, seed):
+                rows, buf, met, tiles = fc(ts, rows, seed)
+                ts, al = tat(ts, buf, tiles)
+                ts, cl = mappo.train_critic(ts, buf)
+                return ts, rows, al[-1] + cl[-1]
     else:
         def repeat(ts, rows, seed):
             rows, buf, met = fc(ts, rows, seed)

@@ -126,10 +126,12 @@ def main():
         mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
         ts, _ = mappo.init(jax.random.PRNGKey(1))
         if tag == "tiled":
-            # Actor phase on the collect kernel's tile layout (the
+            # Update phases on the collect kernel's tile layout (the
             # canonical->staged relayouts disappear; fused_update_tiled).
             from marlnav_tpu.ops.fused_update_tiled import (
+                TiledRollout,
                 make_tiled_actor_trainer,
+                make_tiled_critic_trainer,
             )
             from marlnav_tpu.ops.step_math import LANE, SUB
 
@@ -139,7 +141,7 @@ def main():
                         .transpose(0, 1, 3, 2, 4)
                         .reshape(t, rows, SUB, nb * LANE))
 
-            tiled = jax.block_until_ready((
+            tiled = jax.block_until_ready(TiledRollout(
                 tile_env(buf.obs.transpose(0, 2, 3, 1)
                          .reshape(t, A * OBS, p), A * OBS),
                 tile_env(buf.actions.transpose(0, 2, 3, 1)
@@ -147,14 +149,15 @@ def main():
                 tile_env(buf.log_probs.reshape(t, p, A)
                          .transpose(0, 2, 1), A),
             ))
-            from marlnav_tpu.ops.fused_update_tiled import TiledRollout
-
-            tiled = TiledRollout(*tiled)
             tat = make_tiled_actor_trainer(cfg, interpret=False)
+            tct = make_tiled_critic_trainer(cfg, interpret=False)
             a = bench(f"actor  {tag:10s}",
                       jax.jit(lambda ts, b: tat(ts, b, tiled)), ts, buf,
                       args.iters, args.device_time)
-            results[tag] = (a, results.get("fused", (None, None))[1])
+            c = bench(f"critic {tag:10s}",
+                      jax.jit(lambda ts, b: tct(ts, b, tiled)), ts, buf,
+                      args.iters, args.device_time)
+            results[tag] = (a, c)
             continue
         a = bench(f"actor  {tag:10s}", jax.jit(mappo.train_actor), ts, buf,
                   args.iters, args.device_time)

@@ -22,6 +22,8 @@ from marlnav_tpu.ops import env_state_to_rows, make_fused_collect
 from marlnav_tpu.ops.fused_update_tiled import (
     TiledRollout,
     make_tiled_actor_trainer,
+    make_tiled_critic_trainer,
+    stage_vr_tiled,
 )
 from marlnav_tpu.ops.step_math import BLOCK_ENVS, LANE, SUB, StepMath
 
@@ -120,17 +122,67 @@ def test_tiled_actor_phase_matches_staged(faithful):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("faithful", [True, False])
+def test_tiled_critic_phase_matches_staged(faithful):
+    """Full tiled critic phase == the staged fused train_critic, to
+    fp-summation-order tolerance (same math, different column layout)."""
+    cfg = MAPPOConfig(num_agents=A, num_parallel=P, obs_size=OBS,
+                      num_total=T * P, buffer_len=T, batch_size=T,
+                      num_epochs=3, faithful=faithful, fused_updates=True)
+    env = make_env(EnvParams(num_parallel=P),
+                   TriangleInitConfig(num_parallel=P), None)
+    mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
+    ts, _ = mappo.init(jax.random.PRNGKey(0))
+    buf = rand_buffer(2)
+    tiled = tiled_from_buffer(buf)
+
+    ts_ref, losses_ref = jax.jit(mappo.train_critic)(ts, buf)
+    train_tiled = make_tiled_critic_trainer(cfg, interpret=True)
+    ts_tiled, losses_tiled = jax.jit(train_tiled)(ts, buf, tiled)
+
+    np.testing.assert_allclose(np.asarray(losses_tiled),
+                               np.asarray(losses_ref), rtol=1e-4, atol=1e-5)
+    for x, y in zip(jax.tree.leaves(ts_tiled.critic),
+                    jax.tree.leaves(ts_ref.critic)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_stage_vr_tiled_layout():
+    """stage_vr_tiled puts env p = block*1024 + sublane*128 + lane at
+    [t, sublane, block*128 + lane] — the collect outputs' tiling (same
+    mapping as tile_env_axis on a single-row array)."""
+    t, p = 3, 2 * BLOCK_ENVS
+    x = jnp.arange(t * p, dtype=jnp.float32).reshape(t, p)
+    got = stage_vr_tiled(x)
+    want = tile_env_axis(x[:, None, :])[:, 0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_train_driver_tiled_path(tmp_path, monkeypatch):
-    """train(fused_collect+fused_updates, full batch) routes the actor
-    phase through the tiled trainer BY DEFAULT (hardware-validated in r2;
+    """train(fused_collect+fused_updates, full batch) routes BOTH update
+    phases through the tiled trainers BY DEFAULT (hardware-validated;
     opt out with MARLNAV_TILED_UPDATES=0) — smoke both the per-repeat and
     the jit_repeats (train_many) branches end to end (interpret on CPU),
-    plus the opt-out staged path."""
+    plus the opt-out staged path.  The routing itself is asserted by
+    spying on the trainer factories: a gate regression that silently
+    always-staged (or always-tiled) would fail here, not just run."""
     monkeypatch.chdir(tmp_path)
     monkeypatch.delenv("MARLNAV_TILED_UPDATES", raising=False)
+    import marlnav_tpu.ops.fused_update_tiled as fut
     from marlnav_tpu.__main__ import build_parser
     from marlnav_tpu.config import resolve_run_config
     from marlnav_tpu.train import train
+
+    built = []
+    real_actor, real_critic = (fut.make_tiled_actor_trainer,
+                               fut.make_tiled_critic_trainer)
+    monkeypatch.setattr(fut, "make_tiled_actor_trainer",
+                        lambda *a, **k: built.append("actor")
+                        or real_actor(*a, **k))
+    monkeypatch.setattr(fut, "make_tiled_critic_trainer",
+                        lambda *a, **k: built.append("critic")
+                        or real_critic(*a, **k))
 
     args = build_parser().parse_args(
         ["-np", "1024", "-nt", "32768", "-bl", "8", "-bs", "8",
@@ -138,17 +190,21 @@ def test_train_driver_tiled_path(tmp_path, monkeypatch):
     cfg = resolve_run_config(args)
     _, _, logger = train(cfg, verbose=False, fused_collect=True,
                          allow_interpret=True)
+    assert built == ["actor", "critic"]  # default run took the tiled path
     assert len(logger.logs["mean_rews"]) == 4
     assert np.isfinite(logger.logs["mean_rews"]).all()
     _, _, logger2 = train(cfg, verbose=False, fused_collect=True,
                           allow_interpret=True, jit_repeats=2)
+    assert built == ["actor", "critic"] * 2
     assert len(logger2.logs["mean_rews"]) == 4
     assert np.isfinite(logger2.logs["mean_rews"]).all()
-    # Opt-out keeps the staged update path (same losses modulo fp
-    # reassociation; just smoke it end to end).
-    monkeypatch.setenv("MARLNAV_TILED_UPDATES", "0")
+    # Opt-out (any of 0/false/off) keeps the staged update path (same
+    # losses modulo fp reassociation; smoke it end to end and assert the
+    # tiled trainers were NOT built).
+    monkeypatch.setenv("MARLNAV_TILED_UPDATES", "off")
     _, _, logger3 = train(cfg, verbose=False, fused_collect=True,
                           allow_interpret=True)
+    assert built == ["actor", "critic"] * 2  # unchanged: staged path
     assert len(logger3.logs["mean_rews"]) == 4
     assert np.isfinite(logger3.logs["mean_rews"]).all()
 
