@@ -326,14 +326,6 @@ def make_mappo(
             stage_critic_minibatch,
         )
 
-        if mesh is not None and cfg.faithful:
-            raise NotImplementedError(
-                "fused_updates under a mesh requires fixed semantics "
-                "(--fixed-semantics): the reference's faithful advantage "
-                "tile mis-pairing (reference models.py:285-286) is a "
-                "GLOBAL pattern over the env batch and cannot be staged "
-                "shard-locally; use corrected semantics for multi-chip "
-                "training, or drop the mesh for faithful curve studies")
         interpret = jax.devices()[0].platform != "tpu"
         psum_axis = axis if mesh is not None else None
         # The Mosaic interpreter's shared-memory simulator can deadlock
@@ -347,8 +339,14 @@ def make_mappo(
         actor_g = critic_g = None  # module defaults (ACTOR_G / CRITIC_G)
         if interpret and mesh is not None:
             actor_g, critic_g = min(_fu.ACTOR_G, 2), min(_fu.CRITIC_G, 2)
+        # Faithful advantage pairing under a mesh is a GLOBAL flat tile
+        # over the env batch (reference models.py:285-286) — staging
+        # all_gathers the tiny (size, P) returns - values inside the
+        # shard_mapped phase and gathers each shard's own rows
+        # (ops/fused_update._pair_rows_sharded).
+        pair_axis = axis if (mesh is not None and cfg.faithful) else None
         actor_stage = lambda mb: stage_actor_minibatch(  # noqa: E731
-            mb, cfg, g=actor_g)
+            mb, cfg, g=actor_g, pair_axis=pair_axis)
         critic_stage = lambda mb: stage_critic_minibatch(  # noqa: E731
             mb, cfg, g=critic_g)
         actor_kernel = make_fused_actor_grad(cfg, interpret=interpret,

@@ -200,6 +200,33 @@ def _pair_rows(x: jax.Array, num_agents: int, faithful: bool) -> jax.Array:
     return jnp.repeat(x, num_agents)
 
 
+def _pair_rows_sharded(d_local: jax.Array, num_agents: int, faithful: bool,
+                       pair_axis: str) -> jax.Array:
+    """Per-shard slice of ``_pair_rows`` over the GLOBAL env batch, for
+    staging inside a shard_map over ``pair_axis``.
+
+    ``d_local`` is this shard's (size, P_local) returns - values.  The
+    fixed (repeat-interleave) pairing is shard-local: global row
+    (t, p, a) reads d[t, p], which every shard owns for its own rows.
+    The FAITHFUL pairing is the reference's flat tile over the global
+    (size*P,) vector (reference models.py:285-286): global actor row
+    j = (t*P + p)*A + a reads d_flat[j mod size*P] — a pattern that
+    crosses shard boundaries, so the (tiny, (size, P) f32) d is
+    all_gathered and each shard gathers exactly its own rows' entries.
+    Returns this shard's (size*P_local*A,) advantage vector in the
+    local (t, p_local, a) row order ``stage_actor_minibatch`` packs."""
+    if not faithful:
+        return jnp.repeat(d_local.reshape(-1), num_agents)
+    size, p_local = d_local.shape
+    d_global = jax.lax.all_gather(d_local, pair_axis, axis=1, tiled=True)
+    p_global = d_global.shape[1]
+    p0 = jax.lax.axis_index(pair_axis) * p_local
+    j = ((jnp.arange(size)[:, None, None] * p_global
+          + (p0 + jnp.arange(p_local))[None, :, None]) * num_agents
+         + jnp.arange(num_agents)[None, None, :])
+    return d_global.reshape(-1)[j.reshape(-1) % (size * p_global)]
+
+
 def _pack_group(x: jax.Array, c: int, g: int) -> jax.Array:
     """(R, n) feature-major -> (G*R, c) with rows g*R+f: column j of
     group g holds source row g*c + j."""
@@ -264,13 +291,17 @@ def _unpack_w_chan(dw: jax.Array, out: int, inn: int, g: int) -> jax.Array:
 
 
 def stage_actor_minibatch(mb, cfg: MAPPOConfig, g: int | None = None,
-                          layout: str | None = None):
+                          layout: str | None = None,
+                          pair_axis: str | None = None):
     """Buffer minibatch (leaves (size, P, ...)) -> (kernel layout, n_rows).
 
     Shapes are inferred from the minibatch itself (not cfg.num_parallel),
-    so the same staging serves a per-shard buffer slice under shard_map.
-    Only ``obs`` depends on ``layout`` (the matmul operand); the
-    elementwise-chain tensors are sublane-packed in both layouts."""
+    so the same staging serves a per-shard buffer slice under shard_map —
+    with ``pair_axis`` (the mesh axis name, required for faithful
+    semantics under a mesh) the advantage pairing follows the reference's
+    GLOBAL flat tile via ``_pair_rows_sharded``.  Only ``obs`` depends on
+    ``layout`` (the matmul operand); the elementwise-chain tensors are
+    sublane-packed in both layouts."""
     size, p, a = mb.obs.shape[0], mb.obs.shape[1], mb.obs.shape[2]
     g = ACTOR_G if g is None else g
     layout = ACTOR_LAYOUT if layout is None else layout
@@ -283,8 +314,11 @@ def stage_actor_minibatch(mb, cfg: MAPPOConfig, g: int | None = None,
         obs = _pack_group(obs_t, c, g)
     actions = _pack_chan(mb.actions.reshape(n, cfg.action_size).T, c, g)
     log_probs = _pack_group(mb.log_probs.reshape(1, n), c, g)
-    adv = (_pair_rows(mb.returns.reshape(size * p), a, cfg.faithful)
-           - _pair_rows(mb.values.reshape(size * p), a, cfg.faithful))
+    d = mb.returns.reshape(size, p) - mb.values.reshape(size, p)
+    if pair_axis is not None:
+        adv = _pair_rows_sharded(d, a, cfg.faithful, pair_axis)
+    else:
+        adv = _pair_rows(d.reshape(size * p), a, cfg.faithful)
     adv = _pack_group(adv.reshape(1, n), c, g)
     return StagedActorBatch(obs, actions, log_probs, adv,
                             _pack_mask(n, c, g)), n

@@ -149,19 +149,24 @@ def test_critic_grad_parity_inside_clip_band():
     assert_tree_close(grads_k, grads_ref)
 
 
-def test_fused_phase_under_mesh_matches_xla():
+@pytest.mark.parametrize("faithful", [True, False])
+def test_fused_phase_under_mesh_matches_xla(faithful):
     """fused_updates on a 2-shard 'data' mesh (shard_mapped phase, psum'd
     gradient sums): same losses and parameters as the unsharded XLA path
-    on the same buffer.  Requires fixed semantics — the faithful tile
-    mis-pairing is a global pattern and is rejected with a mesh."""
+    on the same buffer.  Faithful semantics cross shard boundaries (the
+    reference's advantage tile mis-pairing is a GLOBAL flat pattern,
+    reference models.py:285-286) — staging all_gathers the (size, P)
+    returns - values and applies the global tile per shard
+    (_pair_rows_sharded), so this must match the single-device faithful
+    XLA path too."""
     from marlnav_tpu.parallel import make_mesh
 
     t, p = 10, 8
     env = make_env(EnvParams(num_parallel=p, episode_len=8),
                    TriangleInitConfig(num_parallel=p, num_obstacles=3), None)
     mesh = make_mesh(num_data=2, num_model=1, devices=jax.devices()[:2])
-    cfg_x = cfg_for(p, t, batch_size=5, num_epochs=2, faithful=False)
-    cfg_f = cfg_for(p, t, batch_size=5, num_epochs=2, faithful=False,
+    cfg_x = cfg_for(p, t, batch_size=5, num_epochs=2, faithful=faithful)
+    cfg_f = cfg_for(p, t, batch_size=5, num_epochs=2, faithful=faithful,
                     fused_updates=True)
     mx = make_mappo(cfg_x, env, NormalizerConfig(), ScalerConfig())
     mf = make_mappo(cfg_f, env, NormalizerConfig(), ScalerConfig(),
@@ -180,10 +185,28 @@ def test_fused_phase_under_mesh_matches_xla():
                                rtol=1e-4, atol=1e-4)
     assert_tree_close(ts_f2.critic, ts_x2.critic, rtol=1e-4, atol=1e-4)
 
-    # Faithful mode is rejected with a mesh (global tile mis-pairing).
-    with pytest.raises(NotImplementedError, match="fixed semantics"):
-        make_mappo(cfg_for(p, t, fused_updates=True),
-                   env, NormalizerConfig(), ScalerConfig(), mesh=mesh)
+
+def test_pair_rows_sharded_matches_global():
+    """_pair_rows_sharded under a 4-shard shard_map reproduces the global
+    _pair_rows slice for slice, in both pairing modes (pure XLA — no
+    Pallas involved, so any shard count is safe under interpretation)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from marlnav_tpu.ops.fused_update import _pair_rows, _pair_rows_sharded
+
+    size, p, a, shards = 5, 16, 3, 4
+    rng = np.random.default_rng(11)
+    d = jnp.asarray(rng.normal(size=(size, p)), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:shards]), ("data",))
+    for faithful in (True, False):
+        want = np.asarray(_pair_rows(d.reshape(-1), a, faithful)).reshape(
+            size, p, a)
+        got = jax.jit(jax.shard_map(
+            lambda dl: _pair_rows_sharded(dl, a, faithful, "data")
+            .reshape(size, p // shards, a),
+            mesh=mesh, in_specs=P(None, "data"),
+            out_specs=P(None, "data")))(d)
+        np.testing.assert_array_equal(np.asarray(got), want)
 
 
 def test_fused_train_phase_matches_xla():
