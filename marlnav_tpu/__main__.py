@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="tensor-parallel mesh axis")
     parser.add_argument("--multihost", action="store_true",
                         help="jax.distributed.initialize() for pod slices")
+    parser.add_argument("--coordinator-address", type=str, default=None,
+                        help="host:port of process 0 for --multihost "
+                             "(default: cluster auto-detection)")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="total process count for --multihost")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="this process's index for --multihost")
     parser.add_argument("--checkpoint-dir", type=str, default=None)
     parser.add_argument("--checkpoint-interval", type=int, default=10)
     parser.add_argument("--resume", action="store_true")
@@ -149,7 +156,15 @@ def main(cfg: RunConfig, mode: str, args=None) -> None:
             from marlnav_tpu.parallel import make_mesh
 
             if args.multihost:
-                jax.distributed.initialize()
+                # Explicit coordination args when given (e.g. the
+                # single-process smoke, tests/test_cli_and_io.py);
+                # bare initialize() auto-detects cluster envs (TPU pod,
+                # SLURM, ...).
+                kw = {k: v for k, v in (
+                    ("coordinator_address", args.coordinator_address),
+                    ("num_processes", args.num_processes),
+                    ("process_id", args.process_id)) if v is not None}
+                jax.distributed.initialize(**kw)
             mesh = make_mesh(num_data=args.num_data,
                              num_model=args.num_model)
         train(

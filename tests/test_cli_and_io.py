@@ -167,6 +167,45 @@ def test_multihost_flag_plumbing(tmp_path, monkeypatch):
     assert (tmp_path / "weights").exists()
 
 
+def test_multihost_single_process_smoke(tmp_path):
+    """REAL jax.distributed.initialize() (not mocked): a 1-process
+    "cluster" via the explicit --coordinator-address/--num-processes/
+    --process-id flags (round-2 verdict #7 — the wire at __main__.py had
+    never executed, so argument rot could not be caught).  Runs in a
+    subprocess because initialize() latches process-global state."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS', '') + "
+        "' --xla_force_host_platform_device_count=2'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from marlnav_tpu.__main__ import cli\n"
+        f"cli({TINY_TRAIN!r} + ['--multihost',"
+        f" '--coordinator-address', 'localhost:{port}',"
+        " '--num-processes', '1', '--process-id', '0',"
+        " '--num-data', '2'])\n"
+        "assert jax.process_count() == 1, jax.process_count()\n"
+        "print('MULTIHOST_SMOKE_OK')\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", ""))
+    proc = subprocess.run([sys.executable, "-c", script], cwd=str(tmp_path),
+                          env=env, capture_output=True, text=True,
+                          timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "MULTIHOST_SMOKE_OK" in proc.stdout
+    assert (tmp_path / "weights").exists()
+
+
 def test_rendering_window_path(tmp_path, monkeypatch):
     """The interactive window path (reference animation.py:73-77): run()
     without --save-animation builds the FuncAnimation and calls plt.show()
