@@ -109,7 +109,8 @@ def make_fused_collect(
     kernel instances (the r2 deadlock, CLAUDE.md); the generic
     interpreter has no shared runtime state, so it is the ONLY mode in
     which the collect kernel's mesh path executes at >1 shard off-TPU —
-    tests/test_fused_collect_mesh.py's coverage of the §2.6 DP row."""
+    tests/test_fused_collect.py::test_two_shard_mesh_generic_interpret's
+    coverage of the §2.6 DP row."""
     if generic_interpret and not noise_input:
         raise ValueError("generic_interpret requires noise_input=True "
                          "(the generic interpreter has no in-kernel PRNG)")
