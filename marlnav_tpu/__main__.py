@@ -103,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="full training repeats per device program "
                              "(amortizes dispatch latency; weights/"
                              "checkpoints save once per block)")
+    parser.add_argument("--pipeline-repeats", action="store_true",
+                        help="execute each --jit-repeats block as chained "
+                             "async per-repeat dispatches instead of one "
+                             "scanned program (2-3x faster first compile; "
+                             "small steady-state dispatch overhead)")
     parser.add_argument("--save-animation", type=str, default=None,
                         help="write the animation to this movie/GIF file "
                              "instead of opening a window")
@@ -178,6 +183,7 @@ def main(cfg: RunConfig, mode: str, args=None) -> None:
             jit_repeats=getattr(args, "jit_repeats", 1),
             fused_collect=getattr(args, "fused_collect", False),
             allow_interpret=getattr(args, "allow_interpret", False),
+            pipeline=getattr(args, "pipeline_repeats", False),
         )
 
     elif mode == "rendering":

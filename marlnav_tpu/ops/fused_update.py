@@ -103,15 +103,12 @@ import os
 # mode simulator, where large-G multi-shard runs can deadlock (below).
 ACTOR_G = int(os.environ.get("MARLNAV_ACTOR_G", "8"))
 CRITIC_G = int(os.environ.get("MARLNAV_CRITIC_G", "1"))
-# Stage the critic's packed obs in bf16: halves the kernel's dominant HBM
-# stream (the (G*A*obs, C) block is staged once but re-read every epoch)
-# at the cost of one bf16 rounding of the inputs (~4e-3 relative).  The
-# kernel upcasts to f32 on load, so all arithmetic — including the clip-
-# band branch decisions — runs in f32 exactly as before; only the stored
-# observations round.  values/returns stay f32 (they gate the clip/max
-# branches directly and are a 36x smaller stream).  Off by default until
-# measured on hardware.
-CRITIC_STAGE_BF16 = os.environ.get("MARLNAV_CRITIC_BF16_STAGE", "0") == "1"
+# A bf16-staged-obs variant for the critic (halving its staged HBM
+# stream at the cost of one bf16 input rounding) was MEASURED on v5e and
+# REMOVED: 0.0 ms change on the isolated phase (25.8 vs 25.8 device —
+# the kernel is compute/pipeline-bound, not input-IO-bound) and only a
+# 1-3% composed-repeat win from the halved staging relayout, on a path
+# the tiled updates made non-default anyway (BASELINE.md r3 notes).
 # Actor kernel layout (staging and kernel must agree):
 #   "packed"    — every matmul block-diagonal-dilated (kron(I_G, W)), all
 #                 tensors sublane-packed end to end.
@@ -324,18 +321,13 @@ def stage_actor_minibatch(mb, cfg: MAPPOConfig, g: int | None = None,
                             _pack_mask(n, c, g)), n
 
 
-def stage_critic_minibatch(mb, cfg: MAPPOConfig, g: int | None = None,
-                           stage_bf16: bool | None = None):
+def stage_critic_minibatch(mb, cfg: MAPPOConfig, g: int | None = None):
     size, p = mb.obs.shape[0], mb.obs.shape[1]
     g = CRITIC_G if g is None else g
-    if stage_bf16 is None:
-        stage_bf16 = CRITIC_STAGE_BF16
     n = size * p
     c, _ = _pick_cols(n, g, CRITIC_ROWS_PER_STEP)
     obs = _pack_group(
         mb.obs.reshape(n, cfg.num_agents * cfg.obs_size).T, c, g)
-    if stage_bf16:
-        obs = obs.astype(jnp.bfloat16)
     values = _pack_group(mb.values.reshape(1, n), c, g)
     returns = _pack_group(mb.returns.reshape(1, n), c, g)
     return StagedCriticBatch(obs, values, returns, _pack_mask(n, c, g)), n
@@ -790,10 +782,7 @@ def make_fused_critic_grad(cfg: MAPPOConfig, interpret: bool = False,
             for o in (loss_out, dw1, db1, dw2, db2):
                 o[:] = jnp.zeros_like(o)
 
-        # Upcast on load: a no-op for f32 staging; for bf16 staging
-        # (CRITIC_STAGE_BF16) the HBM->VMEM stream is half-width and the
-        # arithmetic below is f32 either way.
-        x = obs_ref[:].astype(jnp.float32)  # (G*A*obs, C)
+        x = obs_ref[:]  # (G*A*obs, C)
         mask = mask_ref[:]  # (G, C)
 
         pre = _dot(w1bd[:], x, ((1,), (0,)), dtype) + b1p[:]  # (G*H, C)

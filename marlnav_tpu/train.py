@@ -45,6 +45,7 @@ def train(
     jit_repeats: int = 1,
     fused_collect: bool = False,
     allow_interpret: bool = False,
+    pipeline: bool = False,
 ):
     """Run full MAPPO training per ``cfg``; returns the final TrainState.
 
@@ -57,6 +58,17 @@ def train(
     same per-repeat logs, but one dispatch per block instead of three per
     repeat (matters on high-dispatch-latency links); weights/checkpoints
     then save once per block.
+
+    ``pipeline=True`` keeps the ``jit_repeats`` block structure (metrics
+    fetched and weights/checkpoints saved once per block) but executes
+    each block as CHAINED ASYNC dispatches of the per-repeat programs
+    instead of one scanned ``train_many`` program.  JAX dispatches run
+    ahead of the device, so the link round trips overlap device
+    execution; only the block-end metrics fetch synchronizes.  Trade-off
+    vs the scanned block: the per-repeat programs compile 2-3x faster
+    (the 6-7 min first-compile of big blocked scans on a fresh tunnel
+    session is the sweep-iteration tax this exists to cut) at a small
+    steady-state dispatch overhead per repeat.
     """
     assert cfg.model is not None, "train requires a model config"
     env = make_env(cfg.env, cfg.init, None)
@@ -93,12 +105,10 @@ def train(
                 "refusing to train on it.  Pass --allow-interpret for "
                 "smoke tests only.")
         # Tiled updates (ops/fused_update_tiled.py): when the updates are
-        # also fused and minibatches are full-batch, both update phases
-        # consume the collect kernel's native tile outputs directly — the
+        # also fused and minibatches are full-batch, the ACTOR update
+        # consumes the collect kernel's native tile outputs directly — the
         # canonical->staged relayouts (~15.6 ms of the default-config
-        # repeat, BASELINE.md) disappear, and with BOTH phases tiled the
-        # buffer's big obs/actions/log_probs untiles become dead code that
-        # XLA drops from the repeat.  Mesh keeps the staged path (the
+        # repeat, BASELINE.md) disappear.  Mesh keeps the staged path (the
         # tiled trainers are single-shard).  Hardware-validated and
         # DEFAULT since the v5e composed-repeat benches
         # (scripts/bench_composed.py; numbers in BASELINE.md).  Opt out
@@ -110,6 +120,18 @@ def train(
         tiled_path = (tiled_eligible
                       and _os.environ.get("MARLNAV_TILED_UPDATES", "1")
                       .lower() not in ("0", "false", "off", ""))
+        # The tiled CRITIC only wins at large env batches (v5e composed
+        # repeats, BASELINE.md: 16384 envs 46.4 vs 47.9 ms/repeat, but
+        # 1024 envs 56.6 vs 53.5 — its per-epoch kernel is slower than
+        # the staged G=1 kernel, and at small P x many epochs that costs
+        # more than the one-time values/returns staging it saves).
+        # Default: tiled actor everywhere eligible, tiled critic at
+        # P >= 8192; force with MARLNAV_TILED_CRITIC=1/0.
+        _tc_env = _os.environ.get("MARLNAV_TILED_CRITIC", "").lower()
+        critic_tiled = tiled_path and (
+            _tc_env in ("1", "true", "on") or
+            (_tc_env not in ("0", "false", "off")
+             and cfg.model.num_parallel >= 8192))
         if cfg.model.fused_updates and not tiled_path and verbose:
             # The fallback is correct but slower — say so instead of
             # silently routing a mesh / sliced-minibatch run to it.
@@ -131,8 +153,9 @@ def train(
 
             train_actor_tiled = jax.jit(make_tiled_actor_trainer(
                 cfg.model, interpret=interpret))
-            train_critic_tiled = jax.jit(make_tiled_critic_trainer(
-                cfg.model, interpret=interpret))
+            if critic_tiled:
+                train_critic_tiled = jax.jit(make_tiled_critic_trainer(
+                    cfg.model, interpret=interpret))
         # Checkpoints always store the canonical EnvState layout (the rows
         # layout is a kernel-internal detail), so resumes work across a
         # --fused-collect flag flip in either direction.
@@ -177,7 +200,10 @@ def train(
                     env_state, buffer, metrics, tiled = fc(
                         ts, env_state, base_seed + r)
                     ts, al = train_actor_tiled(ts, buffer, tiled)
-                    ts, cl = train_critic_tiled(ts, buffer, tiled)
+                    if critic_tiled:
+                        ts, cl = train_critic_tiled(ts, buffer, tiled)
+                    else:
+                        ts, cl = mappo.train_critic(ts, buffer)
                 else:
                     env_state, buffer, metrics = fc(ts, env_state,
                                                     base_seed + r)
@@ -242,18 +268,27 @@ def train(
         remaining = m.num_repeats - repeat
         block = jit_repeats if remaining >= jit_repeats else 1
         t0 = time.perf_counter()
-        if block == 1:
-            if tiled_path:
-                env_state, buffer, metrics, tiled = collect(
-                    ts, env_state, repeat)
-                ts, actor_losses = train_actor_tiled(ts, buffer, tiled)
-                ts, critic_losses = train_critic_tiled(ts, buffer, tiled)
-            else:
-                env_state, buffer, metrics = collect(ts, env_state, repeat)
-                ts, actor_losses = train_actor(ts, buffer)
-                ts, critic_losses = train_critic(ts, buffer)
-            per_repeat = [jax.device_get(
-                (metrics, actor_losses, critic_losses))]
+        if block == 1 or pipeline:
+            # Chained async per-repeat dispatches; ONE metrics fetch at
+            # block end (with pipeline, JAX's async dispatch lets the
+            # host run ahead so link round trips overlap device work).
+            handles = []
+            for r in range(repeat, repeat + block):
+                if tiled_path:
+                    env_state, buffer, metrics, tiled = collect(
+                        ts, env_state, r)
+                    ts, actor_losses = train_actor_tiled(ts, buffer, tiled)
+                    if critic_tiled:
+                        ts, critic_losses = train_critic_tiled(
+                            ts, buffer, tiled)
+                    else:
+                        ts, critic_losses = train_critic(ts, buffer)
+                else:
+                    env_state, buffer, metrics = collect(ts, env_state, r)
+                    ts, actor_losses = train_actor(ts, buffer)
+                    ts, critic_losses = train_critic(ts, buffer)
+                handles.append((metrics, actor_losses, critic_losses))
+            per_repeat = jax.device_get(handles)
         else:
             # fold_in(fold_in(rng, block_start), i) gives each repeat a
             # distinct stream; exact host-loop equality isn't required,

@@ -21,7 +21,6 @@ Variants: fused        collect -> canonical buffer -> staged updates
           tiled2       collect(return_tiled) -> tiled actor + tiled critic
                        (the obs/actions/log_probs untiles go dead and XLA
                        drops them from the repeat entirely)
-          fused+sbf16  fused with the critic obs staged in bf16
 """
 
 from __future__ import annotations
@@ -68,8 +67,6 @@ def build(tag, variant):
     icfg = TriangleInitConfig(num_parallel=p)
     env = make_env(ep, icfg, None)
 
-    from marlnav_tpu.ops import fused_update as _fu
-    _fu.CRITIC_STAGE_BF16 = variant.endswith("sbf16")
     mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
     ts, es = mappo.init(jax.random.PRNGKey(1))
     rows = env_state_to_rows(es)

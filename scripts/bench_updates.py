@@ -107,16 +107,11 @@ def main():
     variants = [("fp32", {}), ("bf16", {"bf16_updates": True}),
                 ("fused", {"fused_updates": True}),
                 ("fused+bf16", {"fused_updates": True, "bf16_updates": True}),
-                ("fused+sbf16", {"fused_updates": True}),
                 ("tiled", {"fused_updates": True})]
     if args.variants != "all":
         want = set(args.variants.split(","))
         variants = [v for v in variants if v[0] in want]
-    from marlnav_tpu.ops import fused_update as _fu
     for tag, kw in variants:
-        # "fused+sbf16": fused kernels with the critic obs staged in bf16
-        # (half the critic kernel's input stream; math stays f32).
-        _fu.CRITIC_STAGE_BF16 = tag == "fused+sbf16"
         cfg = MAPPOConfig(
             num_parallel=p, buffer_len=t, batch_size=args.batch,
             num_epochs=args.epochs, num_total=t * p, **kw,

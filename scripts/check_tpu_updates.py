@@ -9,6 +9,8 @@ ITSELF, for every kernel variant that can ship:
 
   actor: packed / undilated / affine layouts x faithful / fixed pairing
   critic: G=1 x faithful / fixed
+  tiled actor + tiled critic x faithful / fixed (multi-step Pallas grids
+  in both dimensions — see the tp/tt comment below)
 
 Each check prints one JSON verdict line; the last line is a summary with
 ``all_ok``.  Run directly (``python scripts/check_tpu_updates.py``) or
@@ -69,7 +71,19 @@ T, P, BATCH = 12, 128, 6
 # an actual lowering bug (mis-indexed block, dropped row group, wrong
 # accumulator) produces order-1 scaled errors.
 LOSS_TOL = 1e-3
-GRAD_TOL = {"actor": 2e-2, "critic": 5e-2}
+# "critic-tiled" is wider than "critic" because its check runs at 30720
+# rows (the multi-grid shapes below) where two measured, data-dependent
+# precision effects dominate: (a) relu'(pre~0) mask flips — ~9.3k of the
+# 1.54M (row, unit) pre entries sit within 6e-3 of zero (f64 mirror) and
+# the worst-case flip contribution alone reaches 0.38 of max|db1|; (b)
+# the bias grads are ~1000x-cancelling scalar sums (|sum gv| ~ 0.02 vs
+# sum|gv| ~ 3) where CORRELATED bf16-pass rounding of v lands ~0.1 on
+# the scaled metric.  Observed on v5e: 0.058-0.105; a highest-precision
+# XLA reference does NOT shrink it (kernel-side rounding).  Actual
+# lowering bugs are separately excluded by the bitwise grid-
+# decomposition checks below, which carry no precision confound.
+GRAD_TOL = {"actor": 2e-2, "critic": 5e-2, "critic-tiled": 2.5e-1,
+            "decomp": 1e-4}
 
 results = []
 
@@ -188,31 +202,27 @@ def main():
         kl, kg = jax.jit(kern, static_argnums=2)(critic, staged, n)
         check(f"critic/g1/{tag}", kl, kg, ref_l, ref_g)
 
-        # bf16-staged critic obs (MARLNAV_CRITIC_BF16_STAGE): validates the
-        # Mosaic bf16 VMEM-load lowering for the (G*A*obs, C) block; the
-        # reference recomputes from obs rounded through bf16, so the same
-        # leaf-norm tolerance applies.
-        mb_r = mb._replace(obs=mb.obs.astype(jnp.bfloat16)
-                           .astype(jnp.float32))
-        ref_l, ref_g = jax.jit(jax.value_and_grad(critic_loss),
-                               static_argnums=2)(critic, mb_r, cfg)
-        staged, n = stage_critic_minibatch(mb, cfg, stage_bf16=True)
-        kl, kg = jax.jit(kern, static_argnums=2)(critic, staged, n)
-        check(f"critic/sbf16/{tag}", kl, kg, ref_l, ref_g)
-
-    # Tiled actor path (ops/fused_update_tiled.py): the production layout
+    # Tiled update path (ops/fused_update_tiled.py): the production layout
     # needs the env axis in 1024-wide tiles (p = block*1024 + sub*128 +
-    # lane), so it gets its own buffer at P=1024.  The kernel is the
-    # affine chain re-gridded over (time window, env block), so the
-    # affine tolerance class applies.
+    # lane), so it gets its own buffer.  tp=2048 / tt=16 make BOTH Pallas
+    # grid dimensions exceed 1 (faithful: size 15 -> tw 5 -> 3 time grid
+    # steps; nb=2 env blocks) so the cross-grid-step accumulation into
+    # revisited output blocks and the program_id==0 zero-init — the prime
+    # spots for Mosaic-vs-interpreter lowering divergence — execute on
+    # hardware (round-2 advisor finding: the old tt=8/tp=1024 shapes
+    # collapsed the grid to (1, 1)).  The actor kernel is the affine
+    # chain re-gridded over (time window, env block), so the affine
+    # tolerance class applies.
     from marlnav_tpu.ops.fused_update_tiled import (
         TiledRollout,
         make_tiled_actor_grad,
+        make_tiled_critic_grad,
         stage_adv_tiled,
+        stage_vr_tiled,
     )
     from marlnav_tpu.ops.step_math import LANE, SUB
 
-    tp, tt = 1024, 8
+    tp, tt = 2048, 16
 
     def tile_env_axis(x):
         t, rows, p = x.shape
@@ -243,6 +253,74 @@ def main():
         kern = make_tiled_actor_grad(cfg, interpret=False)
         kl, kg = jax.jit(kern)(actor, tiled, adv_t)
         check(f"actor/tiled/{tag}", kl, kg, ref_l, ref_g)
+
+        # Tiled critic (same grid-shape rationale; undilated G=1 operand
+        # reached by pure reshapes).  Wider tolerance class — see the
+        # GRAD_TOL comment for the measured flip/cancellation analysis.
+        ref_l, ref_g = jax.jit(jax.value_and_grad(critic_loss),
+                               static_argnums=2)(critic, mb, cfg)
+        vold_t = stage_vr_tiled(mb.values[:, :, 0])
+        ret_t = stage_vr_tiled(mb.returns)
+        kern_c = make_tiled_critic_grad(cfg, interpret=False)
+        kl, kg = jax.jit(kern_c)(critic, tiled.obs, vold_t, ret_t)
+        check(f"critic-tiled/{tag}", kl, kg, ref_l, ref_g)
+
+        # Grid-decomposition checks (no precision confound): the kernels'
+        # cross-grid-step accumulation means result(full grid) must equal
+        # the weighted recombination of runs on each time window / each
+        # lane block — identical per-block math and rounding on both
+        # sides, so agreement is to recombination ulps (tol 1e-5), and a
+        # real accumulator/zero-init/index lowering bug (the round-2
+        # advisor's concern at the old degenerate (1,1) grids) shows up
+        # at order 1.
+        from marlnav_tpu.ops.fused_update_tiled import _time_window
+
+        def recombine(parts, weights):
+            loss = sum(w * float(l) for (l, _), w in zip(parts, weights))
+            grads = jax.tree.map(
+                lambda *gs: sum(w * np.asarray(g_)
+                                for g_, w in zip(gs, weights)),
+                *[g_ for _, g_ in parts])
+            return loss, grads
+
+        size_t = tiled.obs.shape[0]
+        tw = _time_window(size_t)
+        t_parts, l_parts = [], []
+        for s in range(0, size_t, tw):
+            sl_t = slice(s, s + tw)
+            t_parts.append(jax.jit(kern_c)(
+                critic, tiled.obs[sl_t], vold_t[sl_t], ret_t[sl_t]))
+        nbl = tiled.obs.shape[3]
+        for s in range(0, nbl, LANE):
+            sl_l = (..., slice(s, s + LANE))
+            l_parts.append(jax.jit(kern_c)(
+                critic, tiled.obs[sl_l], vold_t[sl_l], ret_t[sl_l]))
+        for kind, parts in (("time", t_parts), ("lane", l_parts)):
+            rl, rg = recombine(parts, [1.0 / len(parts)] * len(parts))
+            check(f"decomp/critic-{kind}/{tag}", kl, kg, rl, rg)
+
+        # The actor kernel's outputs pass through the affine-recompose
+        # matmuls OUTSIDE the kernel; at default (bf16-pass) precision
+        # their rounding is not linear under recombination (~2-3e-3
+        # measured), which would mask the in-kernel accumulation this
+        # check targets — trace at highest precision so the recompose is
+        # linear to f32 ulps (the in-kernel Mosaic dots are unaffected:
+        # identical per block on both sides either way).
+        with jax.default_matmul_precision("highest"):
+            kern_a = jax.jit(make_tiled_actor_grad(cfg, interpret=False))
+            al, ag = kern_a(actor, tiled, adv_t)
+            t_parts = [kern_a(actor,
+                              TiledRollout(*(x[s:s + tw] for x in tiled)),
+                              adv_t[s:s + tw])
+                       for s in range(0, size_t, tw)]
+            l_parts = [
+                kern_a(actor,
+                       TiledRollout(*(x[..., s:s + LANE] for x in tiled)),
+                       adv_t[..., s:s + LANE])
+                for s in range(0, nbl, LANE)]
+        for kind, parts in (("time", t_parts), ("lane", l_parts)):
+            rl, rg = recombine(parts, [1.0 / len(parts)] * len(parts))
+            check(f"decomp/actor-{kind}/{tag}", al, ag, rl, rg)
 
     failed = [r["check"] for r in results if not r["ok"]]
     summary = {"all_ok": not failed, "failed": failed,

@@ -167,6 +167,30 @@ def test_multihost_flag_plumbing(tmp_path, monkeypatch):
     assert (tmp_path / "weights").exists()
 
 
+def test_pipeline_blocks_match_host_loop(tmp_path, monkeypatch):
+    """--pipeline-repeats executes a jit_repeats block as chained async
+    per-repeat dispatches — literally the same per-repeat programs in the
+    same order as the jit_repeats=1 host loop, so the logged metrics must
+    be EXACTLY equal (the scanned train_many path only promises ulp-level
+    agreement; this one promises identity)."""
+    from marlnav_tpu.train import train
+
+    logs = []
+    for kw in (dict(jit_repeats=1),
+               dict(jit_repeats=2, pipeline=True)):
+        d = tmp_path / f"run{len(logs)}"
+        d.mkdir()
+        monkeypatch.chdir(d)
+        args = build_parser().parse_args(TINY_TRAIN)
+        cfg = resolve_run_config(args)
+        _, _, logger = train(cfg, verbose=False, **kw)
+        logs.append(logger.logs)
+    assert len(logs[0]["mean_rews"]) == len(logs[1]["mean_rews"]) == 2
+    np.testing.assert_array_equal(logs[0]["mean_rews"], logs[1]["mean_rews"])
+    np.testing.assert_array_equal(logs[0]["actor"], logs[1]["actor"])
+    np.testing.assert_array_equal(logs[0]["critic"], logs[1]["critic"])
+
+
 def test_multihost_single_process_smoke(tmp_path):
     """REAL jax.distributed.initialize() (not mocked): a 1-process
     "cluster" via the explicit --coordinator-address/--num-processes/

@@ -100,32 +100,6 @@ def test_critic_grad_parity(p):
         assert_tree_close(grads_k, grads_ref)
 
 
-def test_critic_grad_parity_bf16_staged():
-    """stage_bf16=True rounds ONLY the staged observations to bf16 (the
-    kernel upcasts on load and computes in f32) — so the kernel must match
-    jax.value_and_grad(critic_loss) run on obs pre-rounded through bf16,
-    to the same tolerance as the f32-staged test."""
-    t, p = 12, 128
-    cfg = cfg_for(p, t, batch_size=6)
-    buf = rand_buffer(6, t, p)
-    critic = critic_init(jax.random.PRNGKey(3), OBS, A, H)
-    kernel = make_fused_critic_grad(cfg, interpret=True)
-
-    for mb in minibatch_slices(buf, cfg):
-        mb_r = mb._replace(
-            obs=mb.obs.astype(jnp.bfloat16).astype(jnp.float32))
-        loss_ref, grads_ref = jax.value_and_grad(critic_loss)(
-            critic, mb_r, cfg)
-        staged, n_rows = stage_critic_minibatch(mb, cfg, stage_bf16=True)
-        assert staged.obs.dtype == jnp.bfloat16
-        assert staged.values.dtype == jnp.float32  # clip band stays f32
-        loss_k, grads_k = jax.jit(
-            kernel, static_argnums=2)(critic, staged, n_rows)
-        np.testing.assert_allclose(float(loss_k), float(loss_ref),
-                                   rtol=2e-5, atol=2e-5)
-        assert_tree_close(grads_k, grads_ref)
-
-
 def test_critic_grad_parity_inside_clip_band():
     """Force values where new v is certain to sit inside the old-value clip
     band (exact d1 == d2 ties) — the balanced-tie rule must match JAX."""

@@ -160,15 +160,18 @@ def test_stage_vr_tiled_layout():
 
 
 def test_train_driver_tiled_path(tmp_path, monkeypatch):
-    """train(fused_collect+fused_updates, full batch) routes BOTH update
-    phases through the tiled trainers BY DEFAULT (hardware-validated;
-    opt out with MARLNAV_TILED_UPDATES=0) — smoke both the per-repeat and
-    the jit_repeats (train_many) branches end to end (interpret on CPU),
-    plus the opt-out staged path.  The routing itself is asserted by
-    spying on the trainer factories: a gate regression that silently
-    always-staged (or always-tiled) would fail here, not just run."""
+    """train(fused_collect+fused_updates, full batch) routes the ACTOR
+    through the tiled trainer BY DEFAULT; the tiled CRITIC only wins at
+    large env batches (v5e composed benches, BASELINE.md) so at P=1024 it
+    stays staged unless MARLNAV_TILED_CRITIC=1 forces it — smoke the
+    per-repeat and jit_repeats (train_many) branches end to end
+    (interpret on CPU), the forced-critic run, and the opt-out staged
+    path.  The routing itself is asserted by spying on the trainer
+    factories: a gate regression that silently always-staged (or
+    always-tiled) would fail here, not just run."""
     monkeypatch.chdir(tmp_path)
     monkeypatch.delenv("MARLNAV_TILED_UPDATES", raising=False)
+    monkeypatch.delenv("MARLNAV_TILED_CRITIC", raising=False)
     import marlnav_tpu.ops.fused_update_tiled as fut
     from marlnav_tpu.__main__ import build_parser
     from marlnav_tpu.config import resolve_run_config
@@ -190,21 +193,29 @@ def test_train_driver_tiled_path(tmp_path, monkeypatch):
     cfg = resolve_run_config(args)
     _, _, logger = train(cfg, verbose=False, fused_collect=True,
                          allow_interpret=True)
-    assert built == ["actor", "critic"]  # default run took the tiled path
+    assert built == ["actor"]  # tiled actor, staged critic at P=1024
     assert len(logger.logs["mean_rews"]) == 4
     assert np.isfinite(logger.logs["mean_rews"]).all()
     _, _, logger2 = train(cfg, verbose=False, fused_collect=True,
                           allow_interpret=True, jit_repeats=2)
-    assert built == ["actor", "critic"] * 2
+    assert built == ["actor"] * 2
     assert len(logger2.logs["mean_rews"]) == 4
     assert np.isfinite(logger2.logs["mean_rews"]).all()
+    # MARLNAV_TILED_CRITIC=1 forces the tiled critic at any batch size.
+    monkeypatch.setenv("MARLNAV_TILED_CRITIC", "1")
+    _, _, logger4 = train(cfg, verbose=False, fused_collect=True,
+                          allow_interpret=True)
+    assert built == ["actor"] * 2 + ["actor", "critic"]
+    assert len(logger4.logs["mean_rews"]) == 4
+    assert np.isfinite(logger4.logs["mean_rews"]).all()
+    monkeypatch.delenv("MARLNAV_TILED_CRITIC")
     # Opt-out (any of 0/false/off) keeps the staged update path (same
     # losses modulo fp reassociation; smoke it end to end and assert the
     # tiled trainers were NOT built).
     monkeypatch.setenv("MARLNAV_TILED_UPDATES", "off")
     _, _, logger3 = train(cfg, verbose=False, fused_collect=True,
                           allow_interpret=True)
-    assert built == ["actor", "critic"] * 2  # unchanged: staged path
+    assert built == ["actor"] * 2 + ["actor", "critic"]  # unchanged
     assert len(logger3.logs["mean_rews"]) == 4
     assert np.isfinite(logger3.logs["mean_rews"]).all()
 

@@ -46,7 +46,8 @@ def test_tpu_update_kernel_parity():
     assert summary.get("all_ok"), (
         f"failed checks {summary.get('failed')}; full output:\n"
         + proc.stdout)
-    # (3 actor layouts + critic f32 + critic sbf16) x 2 pairings
-    # + tiled actor x 2 pairings
-    assert summary.get("n_checks") == 12
+    # (3 actor layouts + critic G=1) x 2 pairings
+    # + (tiled actor + tiled critic + 4 grid-decomposition checks)
+    #   x 2 pairings
+    assert summary.get("n_checks") == 20
     assert proc.returncode == 0
