@@ -40,10 +40,9 @@ import jax.numpy as jnp
 
 # Persistent compilation cache: first-ever run pays the (minutes-long,
 # tunnel-bound) XLA compile; every later bench process starts hot.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from marlnav_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 from marlnav_tpu.config import (
     EnvParams,

@@ -215,6 +215,12 @@ def cli(argv=None) -> None:
     if args.reward_check and args.sampling_style == "policy":
         sys.exit("reward check needs a scripted sampler, not a policy")
 
+    # Persistent XLA compile cache: the scanned training programs cost
+    # minutes to compile over the tunnel; reload them across processes.
+    from marlnav_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.config:
         cfg = load_config_json(args.config)
     else:

@@ -22,6 +22,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from marlnav_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax
 import jax.numpy as jnp
 

@@ -43,6 +43,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from marlnav_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -161,21 +165,120 @@ def run_adaptive(ns):
     print("wrote", path, flush=True)
 
 
+def run_noise_adaptive(ns):
+    """Round-3 mode: couple NOISE annealing to the radius schedule.
+
+    The round-2 boundary (radius 217, docs/curriculum_r2.md) is set by
+    the noise-driven agent-agent collision floor (finding 2): per-step
+    steering noise at policy std ~0.5 diffuses 10-15-apart pairs below
+    the 5-unit collision distance within ~60 steps, capping episode
+    length regardless of target progress — and the smaller the disk, the
+    longer a reach trajectory has to survive.  Pair-diffusion time
+    scales ~1/std^2, so each radius anneal here also (a) halves the
+    entropy bonus (floor --ent-floor; finding 5: entropy exactly 0
+    collapses into the suicide basin, so never to zero) and (b) shifts
+    the variance head's bias by --var-shift, cutting the sampling std
+    immediately instead of waiting for the weakened bonus to drift it
+    down.  Metrics fetch in chunks of 25 repeats (async dispatch runs
+    ahead; a per-repeat fetch would pay the tunnel round trip 25x)."""
+    P_, T_ = 4096, 200
+    icfg = TriangleInitConfig(num_parallel=P_, num_obstacles=3)
+    base_seed = (ns.seed * 1_000_003) % (1 << 30)
+    ent = 1e-2
+    ts = rows = None
+    gr = 0
+    radius, stage, history = 300.0, 0, []
+    while radius >= 30.0 and stage < ns.max_stages:
+        stage += 1
+        cfg = MAPPOConfig(num_parallel=P_, buffer_len=T_, batch_size=T_,
+                          num_epochs=10, num_total=T_ * P_, lr=3e-4,
+                          gamma=0.99, epsilon=0.2, ent_const=ent,
+                          use_gae=True, faithful=False, fused_updates=True)
+        ep = EnvParams(num_parallel=P_, risk_factor=ns.risk,
+                       target_factor=500_000.0, target_radius=radius,
+                       staggered_resets=True)
+        mappo = make_mappo(cfg, make_env(ep, icfg, None),
+                           NormalizerConfig(), ScalerConfig())
+        fc = jax.jit(make_fused_collect(cfg, ep, icfg, NormalizerConfig(),
+                                        ScalerConfig()))
+        ta, tc = jax.jit(mappo.train_actor), jax.jit(mappo.train_critic)
+        if ts is None:
+            ts, es = mappo.init(jax.random.PRNGKey(ns.seed))
+            rows = env_state_to_rows(es)
+        n = ns.repeats_per_stage
+        tar = col = trunc = 0
+        t0 = time.perf_counter()
+        pending = []
+        q_start = n - n // 4
+
+        def drain():
+            nonlocal tar, col, trunc
+            for r_i, met_i in jax.device_get(pending):
+                if r_i >= q_start:
+                    tar += int(met_i.stats.num_tar)
+                    col += int(met_i.stats.num_col)
+                    trunc += int(met_i.stats.num_trunc)
+            pending.clear()
+
+        for r in range(n):
+            rows, buf, met = fc(ts, rows, base_seed + gr)
+            ts, _ = ta(ts, buf)
+            ts, _ = tc(ts, buf)
+            gr += 1
+            pending.append((r, met))
+            if len(pending) >= 25:
+                drain()
+        drain()
+        endings = tar + col + trunc
+        share = tar / endings if endings else 0.0
+        rec = {"stage": stage, "radius": radius, "ent_const": ent,
+               "var_bias_mean": round(float(jnp.mean(ts.actor.fc_var.b)), 3),
+               "tar": tar, "tar_share": round(share, 4), "col": col,
+               "trunc": trunc,
+               "seconds": round(time.perf_counter() - t0, 1)}
+        history.append(rec)
+        print(json.dumps(rec), flush=True)
+        np.savez(f"{ns.out}_actor_stage{stage}.npz", **{
+            ".".join(str(getattr(k, "name", k)) for k in path):
+                np.asarray(v)
+            for path, v in
+            jax.tree_util.tree_flatten_with_path(ts.actor)[0]})
+        if share > 0.02:
+            radius = round(radius * 0.85)
+            ent = max(ns.ent_floor, ent * 0.5)
+            ts = ts._replace(actor=ts.actor._replace(
+                fc_var=ts.actor.fc_var._replace(
+                    b=ts.actor.fc_var.b + ns.var_shift)))
+    os.makedirs(os.path.dirname(ns.out) or ".", exist_ok=True)
+    path = f"{ns.out}_radius_noise_adaptive.json"
+    with open(path, "w") as f:
+        json.dump(history, f, indent=2)
+    print("wrote", path, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats-per-stage", type=int, default=300)
     ap.add_argument("--mode", type=str, default="obstacles",
                     choices=["obstacles", "radius", "radius-adaptive",
-                             "none"])
+                             "radius-noise-adaptive", "none"])
     ap.add_argument("--risk", type=float, default=250.0)
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--max-stages", type=int, default=14,
                     help="radius-adaptive: total stage budget")
+    ap.add_argument("--ent-floor", type=float, default=5e-4,
+                    help="radius-noise-adaptive: entropy-bonus floor")
+    ap.add_argument("--var-shift", type=float, default=-0.5,
+                    help="radius-noise-adaptive: variance-head bias shift "
+                         "applied at each radius anneal")
     ap.add_argument("--out", type=str, default="docs/curriculum_r2")
     ns = ap.parse_args()
 
     if ns.mode == "radius-adaptive":
         run_adaptive(ns)
+        return
+    if ns.mode == "radius-noise-adaptive":
+        run_noise_adaptive(ns)
         return
 
     cfg = build_cfg()

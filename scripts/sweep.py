@@ -41,6 +41,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from marlnav_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import numpy as np
 
 
