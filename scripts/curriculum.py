@@ -188,14 +188,22 @@ def run_noise_adaptive(ns):
     ts = rows = None
     gr = 0
     radius, stage, history = 300.0, 0, []
+    best = None  # (share, radius, ts, rows, ent) at the last good anneal
+    stall = 0
     while radius >= 30.0 and stage < ns.max_stages:
         stage += 1
         cfg = MAPPOConfig(num_parallel=P_, buffer_len=T_, batch_size=T_,
                           num_epochs=10, num_total=T_ * P_, lr=3e-4,
                           gamma=0.99, epsilon=0.2, ent_const=ent,
                           use_gae=True, faithful=False, fused_updates=True)
+        # Density-compensated bonus (scale ~ 1/radius): MEASURED HARMFUL
+        # in the r3b run — at radius 184 the share collapsed to 0.7% vs
+        # 3.4% with the constant bonus (docs/curriculum_r3b_*.json vs
+        # r3); default off.
+        tf = (500_000.0 * (300.0 / max(radius, 30.0))
+              if ns.bonus_scale else 500_000.0)
         ep = EnvParams(num_parallel=P_, risk_factor=ns.risk,
-                       target_factor=500_000.0, target_radius=radius,
+                       target_factor=tf, target_radius=radius,
                        staggered_resets=True)
         mappo = make_mappo(cfg, make_env(ep, icfg, None),
                            NormalizerConfig(), ScalerConfig())
@@ -232,6 +240,7 @@ def run_noise_adaptive(ns):
         endings = tar + col + trunc
         share = tar / endings if endings else 0.0
         rec = {"stage": stage, "radius": radius, "ent_const": ent,
+               "target_factor": tf,
                "var_bias_mean": round(float(jnp.mean(ts.actor.fc_var.b)), 3),
                "tar": tar, "tar_share": round(share, 4), "col": col,
                "trunc": trunc,
@@ -243,12 +252,34 @@ def run_noise_adaptive(ns):
                 np.asarray(v)
             for path, v in
             jax.tree_util.tree_flatten_with_path(ts.actor)[0]})
-        if share > 0.02:
-            radius = round(radius * 0.85)
+        threshold = 0.02 if radius > 200 else ns.fine_threshold
+        if share > threshold:
+            best, stall = (share, radius, ts, rows, ent), 0
+            # Gentler steps below 200: the r3 first run cleared 15% steps
+            # down to 184 but overshot into the 156 stall.
+            step = 0.85 if radius > 200 else 0.92
+            radius = round(radius * step)
             ent = max(ns.ent_floor, ent * 0.5)
             ts = ts._replace(actor=ts.actor._replace(
                 fc_var=ts.actor.fc_var._replace(
                     b=ts.actor.fc_var.b + ns.var_shift)))
+        elif share < 0.005:
+            # Collapse watch: the reach signal, once below ~0.5%, decays
+            # monotonically instead of recovering (r2 stages 6-14 at 217,
+            # r3 first-run stages 10-20 at 156) — retraining a drifted
+            # policy re-enters the race basin.  Restore the full train
+            # state from the last good anneal point and retry from there
+            # with a gentler radius step.
+            stall += 1
+            if stall >= 2 and best is not None:
+                _, b_radius, ts, rows, ent = best
+                radius = round(min(radius / 0.92, b_radius * 0.96))
+                stall = 0
+                rec["restored"] = {"from_radius": b_radius,
+                                   "retry_radius": radius}
+                print(json.dumps({"restore": rec["restored"]}), flush=True)
+        else:
+            stall = 0
     os.makedirs(os.path.dirname(ns.out) or ".", exist_ok=True)
     path = f"{ns.out}_radius_noise_adaptive.json"
     with open(path, "w") as f:
@@ -268,6 +299,14 @@ def main():
                     help="radius-adaptive: total stage budget")
     ap.add_argument("--ent-floor", type=float, default=5e-4,
                     help="radius-noise-adaptive: entropy-bonus floor")
+    ap.add_argument("--bonus-scale", action="store_true",
+                    help="radius-noise-adaptive: scale the group bonus "
+                         "~1/radius (measured harmful; kept for the "
+                         "record)")
+    ap.add_argument("--fine-threshold", type=float, default=0.006,
+                    help="radius-noise-adaptive: anneal threshold below "
+                         "radius 200 (restore-on-collapse is the safety "
+                         "net for over-eager anneals)")
     ap.add_argument("--var-shift", type=float, default=-0.5,
                     help="radius-noise-adaptive: variance-head bias shift "
                          "applied at each radius anneal")
