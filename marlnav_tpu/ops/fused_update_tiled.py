@@ -82,7 +82,19 @@ def _unpack_chan_chan(dz: jax.Array, out: int, inn: int, g: int):
     return jnp.einsum("cgfg->cf", dz.reshape(out, g, inn, g))
 
 
-def _time_window(t: int, cap: int = 8) -> int:
+import os as _os
+
+# Time steps per grid step.  Larger windows mean fewer, larger grid
+# steps (better matmul pipelining) at the cost of VMEM window size
+# (~147 KB per time step for the obs tile at nb=1); the default-config
+# faithful size 999 = 3^3 * 37 only admits 3 under the old cap of 8 —
+# 333 grid steps of tiny matmuls.  v5e measurement (r3): see BASELINE.md
+# tiled tuning notes.
+_TW_CAP = int(_os.environ.get("MARLNAV_TILED_TW_CAP", "8"))
+
+
+def _time_window(t: int, cap: int | None = None) -> int:
+    cap = _TW_CAP if cap is None else cap
     for d in range(min(t, cap), 0, -1):
         if t % d == 0:
             return d
