@@ -2,10 +2,16 @@
 
 Extends the bench kernel (fused_rollout.py — same physics via
 step_math.py) to emit the full training buffer the PPO updates consume:
-normalized observations, raw sampled actions, per-agent log-probs, the
-centralized critic's values, rewards, done flags, and the episode-ending
-statistics counters — the exact record `MAPPO.collect` builds with a
-lax.scan (algo/mappo.py), produced by one VMEM-resident kernel instead.
+normalized observations, raw sampled actions, per-agent log-probs,
+rewards, done flags, and the episode-ending statistics counters — the
+exact record `MAPPO.collect` builds with a lax.scan (algo/mappo.py),
+produced by one VMEM-resident kernel instead.  The centralized critic's
+values complete the buffer OUTSIDE the kernel (`_critic_on_tiles`): they
+feed nothing inside the step, so they run as one post-kernel MXU
+contraction over the emitted obs tiles rather than ~1,850 scalar-FMA VPU
+ops per env-step on the sequential critical path; the actor runs
+in-kernel as its precomposed (4, 12) affine operator (the reference
+actor has no hidden activation — fused_update._affine_compose).
 
 Unlike the bench kernel, the outputs here are large (the buffer IS the
 product), so the grid is 2-D: (env blocks, time chunks).  Time chunks
@@ -44,6 +50,7 @@ from marlnav_tpu.config import MAPPOConfig
 from marlnav_tpu.env.types import EpisodeStats
 from marlnav_tpu.models import critic_apply
 from marlnav_tpu.ops.fused_rollout import RowState, untile
+from marlnav_tpu.ops.fused_update import _affine_compose
 from marlnav_tpu.ops.step_math import (
     BLOCK_ENVS,
     LANE,
@@ -123,8 +130,6 @@ def make_fused_collect(
     n_chunks = num_steps // t_chunk
     obs_size = sm.obs_size
     obs_rows = a * obs_size
-    h_size = cfg.hidden_size
-    hc_size = cfg.hidden_size
 
     def kernel(seed_ref,
                px0, py0, dx0, dy0, sp0, obx0, oby0, tg0, misc0,
@@ -133,8 +138,8 @@ def make_fused_collect(
             noise_ref, *rest = rest
         else:
             noise_ref = None
-        (w1t, b1, wmut, bmu, wvart, bvar, wc1t, bc1, wc2t, bc2,
-         rew_out, obs_out, act_out, lp_out, vd_out, stats_out,
+        (wa, ca,
+         rew_out, obs_out, act_out, lp_out, done_out, stats_out,
          pxf, pyf, dxf, dyf, spf, obxf, obyf, tgf, miscf,
          st, stats) = rest
         block_id = pl.program_id(0)
@@ -182,8 +187,8 @@ def make_fused_collect(
             un = uniforms(t, 0, 2 * a)
             ang_raw, acc_raw, lp = [], [], []
             for i in range(a):
-                mu, var = sm.actor_mlp(feats_all[i], w1t, b1, wmut, bmu,
-                                       wvart, bvar, h_size, want_var=True)
+                mu, var = sm.actor_affine(feats_all[i], wa, ca,
+                                          want_var=True)
                 z0, z1 = box_muller(un[2 * i], un[2 * i + 1])
                 ang_raw.append(mu[0] + jnp.sqrt(var[0]) * z0)
                 acc_raw.append(mu[1] + jnp.sqrt(var[1]) * z1)
@@ -196,9 +201,9 @@ def make_fused_collect(
             lp_out[pl.ds(t, 1)] = jnp.concatenate(
                 [v[None] for v in lp], axis=0).reshape(1, a, SUB, LANE)
 
-            # Centralized critic on the SAME pre-step observations
-            # (algo/mappo.py collect: values = critic(obs)).
-            value = sm.critic_mlp(feats_all, wc1t, bc1, wc2t, bc2, hc_size)
+            # NB no critic here: its value feeds nothing inside the step
+            # (only the buffer), so it is hoisted out of the kernel and
+            # computed post-kernel from the obs tiles (_critic_on_tiles).
 
             npx, npy, nhx, nhy, nsp = sm.dynamics(px, py, hx, hy, sp,
                                                   ang_raw, acc_raw)
@@ -213,9 +218,7 @@ def make_fused_collect(
             terminated = jnp.maximum(any_coll, latch)
             finished = jnp.maximum(terminated, trunc)
             new_latch = jnp.where(latch > 0.5, 0.0, all_in_target)
-            vd_out[pl.ds(t, 1)] = jnp.concatenate(
-                [value[None], finished[None]], axis=0,
-            ).reshape(1, 2, SUB, LANE)
+            done_out[pl.ds(t, 1), :, :] = finished.reshape(1, SUB, LANE)
 
             # On-device episode stats (env/types.py EpisodeStats): the
             # reference syncs these per step (environment.py:98, 210-211).
@@ -248,7 +251,8 @@ def make_fused_collect(
             miscf[:] = flat[sm.SN:sm.SN + 2]
             stats_out[:] = stats[:]
 
-    def run_kernel(rows: RowState, actor, critic, seed, noise):
+    def run_kernel(rows: RowState, actor, seed, noise):
+        a_comp, c_comp = _affine_compose(actor)
         num_envs = rows.px.shape[-1]
         if num_envs % BLOCK_ENVS != 0:
             raise ValueError(
@@ -279,7 +283,7 @@ def make_fused_collect(
             for x in (rows.px, rows.py, rows.dx, rows.dy, rows.sp,
                       rows.obx, rows.oby, rows.tg, rows.misc)
         ]
-        param_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 10
+        param_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         noise_specs, noise_args = [], []
         if noise_input:
             noise_specs = [pl.BlockSpec(
@@ -298,7 +302,8 @@ def make_fused_collect(
                 chunk_spec(obs_rows),
                 chunk_spec(2 * a),
                 chunk_spec(a),
-                chunk_spec(2),
+                pl.BlockSpec((t_chunk, SUB, LANE), lambda i, j: (j, 0, i),
+                             memory_space=pltpu.VMEM),  # done
                 pl.BlockSpec((3, SUB, LANE), lambda i, j: (0, 0, i),
                              memory_space=pltpu.VMEM),  # stats
             ] + state_specs,
@@ -308,7 +313,8 @@ def make_fused_collect(
                 chunk_shape(obs_rows),
                 chunk_shape(2 * a),
                 chunk_shape(a),
-                chunk_shape(2),
+                jax.ShapeDtypeStruct((num_steps, SUB, nb * LANE),
+                                     jnp.float32),
                 jax.ShapeDtypeStruct((3, SUB, nb * LANE), jnp.float32),
             ] + state_shapes,
             scratch_shapes=[
@@ -321,14 +327,10 @@ def make_fused_collect(
             rows.px, rows.py, rows.dx, rows.dy, rows.sp,
             rows.obx, rows.oby, rows.tg, rows.misc,
             *noise_args,
-            actor.fc1.w.T, actor.fc1.b[:, None],
-            actor.fc_mu.w.T, actor.fc_mu.b[:, None],
-            actor.fc_var.w.T, actor.fc_var.b[:, None],
-            critic.fc1.w.T, critic.fc1.b[:, None],
-            critic.fc2.w.T, critic.fc2.b[:, None],
+            a_comp, c_comp[:, None],
         )
-        (rew, obs_t, act_t, lp_t, vd_t, stats_t, *state) = out
-        return RowState(*state), rew, obs_t, act_t, lp_t, vd_t, stats_t
+        (rew, obs_t, act_t, lp_t, done_t, stats_t, *state) = out
+        return RowState(*state), rew, obs_t, act_t, lp_t, done_t, stats_t
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -336,25 +338,25 @@ def make_fused_collect(
         n_shards = mesh.shape[axis]
         row_p = RowState(*([P(None, axis)] * 9))
 
-        def per_shard(rows, actor, critic, seed, noise):
+        def per_shard(rows, actor, seed, noise):
             shard_seed = seed + jax.lax.axis_index(axis) * (1 << 20)
-            return run_kernel(rows, actor, critic, shard_seed,
+            return run_kernel(rows, actor, shard_seed,
                               noise if noise_input else None)
 
         sharded_run = jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(row_p, P(), P(), P(), P(None, None, None, axis)),
+            in_specs=(row_p, P(), P(), P(None, None, None, axis)),
             out_specs=(row_p, P(None, None, axis),
                        P(None, None, None, axis), P(None, None, None, axis),
-                       P(None, None, None, axis), P(None, None, None, axis),
+                       P(None, None, None, axis), P(None, None, axis),
                        P(None, None, axis)),
             check_vma=False,  # pallas out_shapes carry no vma metadata
         )
 
-    def dispatch_kernel(rows, actor, critic, seed, noise):
+    def dispatch_kernel(rows, actor, seed, noise):
         if mesh is None:
-            return run_kernel(rows, actor, critic, seed, noise)
+            return run_kernel(rows, actor, seed, noise)
         num_envs = rows.px.shape[-1]
         if num_envs % (n_shards * BLOCK_ENVS) != 0:
             raise ValueError(
@@ -362,15 +364,33 @@ def make_fused_collect(
                 f"x {BLOCK_ENVS}-env blocks")
         if noise is None:
             noise = jnp.zeros((1, 1, 1, n_shards), jnp.float32)
-        return sharded_run(rows, actor, critic,
+        return sharded_run(rows, actor,
                            jnp.asarray(seed, jnp.int32), noise)
+
+    def _critic_on_tiles(critic, obs_t):
+        """Centralized critic hoisted OUT of the kernel: its value output
+        feeds nothing inside the step (only the buffer), so it runs
+        post-kernel as one feature-major contraction over the obs tiles —
+        MXU work at XLA's default matmul precision, exactly like the XLA
+        collect's critic_apply (models/networks.py) — instead of ~1,850
+        scalar-FMA VPU ops per env-step on the kernel's critical path.
+        obs_t (T, A*F, 8, NB*128) -> values (T, 8, NB*128); the 4-D
+        einsums keep the env (last) axis intact so the mesh path's
+        per-shard sharding propagates without a relayout."""
+        h = jax.nn.relu(
+            jnp.einsum("fh,tfse->thse", critic.fc1.w, obs_t,
+                       preferred_element_type=jnp.float32)
+            + critic.fc1.b[None, :, None, None])
+        return (jnp.einsum("h,thse->tse", critic.fc2.w[:, 0], h,
+                           preferred_element_type=jnp.float32)
+                + critic.fc2.b[0])
 
     def collect(ts, rows: RowState, seed, noise=None):
         """Fused-kernel drop-in for ``MAPPO.collect`` (algo/mappo.py):
         same Buffer layout and returns processing, RowState env state."""
         num_envs = rows.px.shape[-1]
-        rows2, rew, obs_t, act_t, lp_t, vd_t, stats_t = dispatch_kernel(
-            rows, ts.actor, ts.critic, seed, noise)
+        rows2, rew, obs_t, act_t, lp_t, done_t, stats_t = dispatch_kernel(
+            rows, ts.actor, seed, noise)
 
         rewards = untile(rew, num_envs)  # (T, P)
         obs = _untile_rows(obs_t, num_envs).reshape(
@@ -379,9 +399,8 @@ def make_fused_collect(
             num_steps, num_envs, a, 2)
         log_probs = _untile_rows(lp_t, num_envs).reshape(
             num_steps, num_envs * a)
-        vd = _untile_rows(vd_t, num_envs)  # (T, P, 2)
-        values = vd[:, :, :1]
-        done = vd[:, :, 1] > 0.5
+        values = untile(_critic_on_tiles(ts.critic, obs_t), num_envs)[..., None]
+        done = untile(done_t, num_envs) > 0.5
 
         # Returns processing — identical to algo/mappo.py collect.
         if cfg.use_gae:

@@ -18,11 +18,13 @@ fused_collect.py; both kernels share their physics via step_math.py.)
 Layout: each block holds 1024 envs viewed as an (8, 128) VPU tile —
 sublane x lane — so EVERY elementwise op runs at full vector-unit
 utilization.  Per-agent quantities are (A, 8, 128), per-obstacle
-(O, 8, 128); the tiny actor MLP (12 -> H -> 2, reference models.py:14-36)
-is computed as scalar-broadcast FMAs over (8, 128) tiles, reading weight
-scalars from SMEM inside the loop (preloading 700+ scalars before the
-time loop forces per-iteration register spills, and an MXU matmul would
-need a per-step relayout that costs more than it saves at these sizes).
+(O, 8, 128); the actor (12 -> H -> 2x2 heads, reference models.py:14-36,
+NO hidden activation) collapses to one precomposed (4, 12) affine
+operator (fused_update._affine_compose — the identical trick that made
+the affine update kernel 4.4x) computed as scalar-broadcast FMAs over
+(8, 128) tiles, reading the 52 operator scalars from SMEM inside the
+loop (an MXU matmul would need a per-step relayout that costs more than
+it saves at these sizes).
 
 Semantics match marlnav_tpu.env.env.step / reward / dynamics op-for-op
 (which themselves replicate the reference, reference environment.py:92-269)
@@ -63,6 +65,7 @@ from marlnav_tpu.config import (
     ScalerConfig,
     TriangleInitConfig,
 )
+from marlnav_tpu.ops.fused_update import _affine_compose
 from marlnav_tpu.ops.step_math import (
     BLOCK_ENVS,
     LANE,
@@ -171,7 +174,6 @@ def make_fused_rollout(
     """
     sm = StepMath(env_params, init_cfg, normalizer_cfg, scaler_cfg)
     a, o, n_rows, n_draws = sm.a, sm.o, sm.n_rows, sm.n_draws
-    h_size = None  # set at build time from the actor pytree
 
     def kernel(seed_ref,
                px0, py0, dx0, dy0, sp0, obx0, oby0, tg0, misc0,
@@ -180,7 +182,7 @@ def make_fused_rollout(
             noise_ref, *rest = rest
         else:
             noise_ref = None
-        (w1t, b1, wmut, bmu, wvart, bvar,
+        (wa, ca,
          rew_out, pxf, pyf, dxf, dyf, spf, obxf, obyf, tgf, miscf,
          st) = rest
         # Variadic seeding folds (seed, block) through the PRNG's hash,
@@ -227,9 +229,8 @@ def make_fused_rollout(
                 un = uniforms(t, 0, 2 * a)
             ang_raw, acc_raw = [], []
             for i in range(a):
-                mu, var = sm.actor_mlp(feats_all[i], w1t, b1, wmut, bmu,
-                                       wvart, bvar, h_size,
-                                       want_var=not deterministic_actions)
+                mu, var = sm.actor_affine(feats_all[i], wa, ca,
+                                          want_var=not deterministic_actions)
                 if deterministic_actions:
                     ang_raw.append(mu[0])
                     acc_raw.append(mu[1])
@@ -276,8 +277,7 @@ def make_fused_rollout(
         miscf[:] = flat[sm.SN:sm.SN + 2]
 
     def rollout(rows: RowState, actor, seed, noise=None):
-        nonlocal h_size
-        h_size = actor.fc1.w.shape[1]
+        a_comp, c_comp = _affine_compose(actor)
         num_envs = rows.px.shape[-1]
         if noise_input and noise is None:
             raise ValueError("noise_input=True requires a noise array "
@@ -295,7 +295,9 @@ def make_fused_rollout(
                                                                row_spec(2)]
         # Weights live in SMEM: they are consumed as individual scalars
         # (broadcast FMAs), which is exactly what scalar memory is for.
-        param_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6
+        # The actor ships as its precomposed (4, obs) affine operator
+        # (step_math.actor_affine / fused_update._affine_compose).
+        param_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         noise_specs, noise_args = [], []
         if noise_input:
             noise_specs = [pl.BlockSpec(
@@ -326,9 +328,7 @@ def make_fused_rollout(
             rows.px, rows.py, rows.dx, rows.dy, rows.sp,
             rows.obx, rows.oby, rows.tg, rows.misc,
             *noise_args,
-            actor.fc1.w.T, actor.fc1.b[:, None],
-            actor.fc_mu.w.T, actor.fc_mu.b[:, None],
-            actor.fc_var.w.T, actor.fc_var.b[:, None],
+            a_comp, c_comp[:, None],
         )
         tiled, *state = out
         return RowState(*state), untile(tiled, num_envs)

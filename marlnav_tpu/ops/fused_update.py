@@ -655,12 +655,22 @@ def _make_actor_grad_undilated(cfg, interpret, psum_axis, g,
 
 def _affine_compose(params):
     """Precompose the activation-free actor into the (4, obs) operator
-    z = a_comp x + c_comp (column convention; see _make_actor_grad_affine)."""
+    z = a_comp x + c_comp (column convention; see _make_actor_grad_affine).
+
+    Composed at HIGHEST matmul precision: these are (obs, H) @ (H, 2)
+    matmuls — nothing at runtime scale — and the collect kernel samples
+    its whole trajectory through this operator, so bf16-pass compose
+    error (~1e-3) would otherwise dominate every downstream parity
+    tolerance."""
+    hi = jax.lax.Precision.HIGHEST
     w1, b1 = params.fc1.w, params.fc1.b  # (obs, H), (H,)
     wmu, bmu = params.fc_mu.w, params.fc_mu.b  # (H, 2), (2,)
     wvar, bvar = params.fc_var.w, params.fc_var.b
-    a_comp = jnp.concatenate([(w1 @ wmu).T, (w1 @ wvar).T])  # (4, obs)
-    c_comp = jnp.concatenate([b1 @ wmu + bmu, b1 @ wvar + bvar])  # (4,)
+    a_comp = jnp.concatenate([jnp.matmul(w1, wmu, precision=hi).T,
+                              jnp.matmul(w1, wvar, precision=hi).T])  # (4, obs)
+    c_comp = jnp.concatenate([
+        jnp.matmul(b1, wmu, precision=hi) + bmu,
+        jnp.matmul(b1, wvar, precision=hi) + bvar])  # (4,)
     return a_comp, c_comp
 
 

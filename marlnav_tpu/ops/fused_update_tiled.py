@@ -55,6 +55,7 @@ from marlnav_tpu.ops.fused_update import (
     _critic_chain,
     _dot,
     _pair_rows,
+    _pair_rows_sharded,
     _ppo_chain,
 )
 from marlnav_tpu.ops.step_math import LANE, SUB
@@ -84,33 +85,52 @@ def _unpack_chan_chan(dz: jax.Array, out: int, inn: int, g: int):
 
 import os as _os
 
-# Time steps per grid step.  Larger windows mean fewer, larger grid
-# steps (better matmul pipelining) at the cost of VMEM window size
-# (~147 KB per time step for the obs tile at nb=1); the default-config
-# faithful size 999 = 3^3 * 37 only admits 3 under the old cap of 8 —
-# 333 grid steps of tiny matmuls.  v5e measurement (r3): see BASELINE.md
-# tiled tuning notes.
-_TW_CAP = int(_os.environ.get("MARLNAV_TILED_TW_CAP", "8"))
+# Time steps per grid step (the kernels' first grid dimension).  Larger
+# windows mean fewer, larger grid steps at the cost of VMEM window size
+# (~147 KB per time step for the obs tile at nb=1).  Default measured on
+# v5e (round 4, scripts/bench_composed.py sweep — BASELINE.md "tiled
+# time-window tuning"); override per run with MARLNAV_TILED_TW_CAP.
+# The cap travels as an ARGUMENT from the trainer factories down to
+# _time_window — resolved from the environment once per factory call,
+# never at import — so tests and concurrent configs don't depend on
+# process-global state.
+TW_CAP_DEFAULT = 8
 
 
-def _time_window(t: int, cap: int | None = None) -> int:
-    cap = _TW_CAP if cap is None else cap
+def _tw_cap() -> int:
+    return int(_os.environ.get("MARLNAV_TILED_TW_CAP", str(TW_CAP_DEFAULT)))
+
+
+def _time_window(t: int, cap: int) -> int:
+    """Largest divisor of ``t`` that is <= cap."""
     for d in range(min(t, cap), 0, -1):
         if t % d == 0:
             return d
     return 1
 
 
-def stage_adv_tiled(returns, values, cfg: MAPPOConfig) -> jax.Array:
+def stage_adv_tiled(returns, values, cfg: MAPPOConfig,
+                    pair_axis: str | None = None) -> jax.Array:
     """(T, P) returns / (T, P, 1) values -> advantages in the tile layout
     (T, A, 8, NB*128), with the faithful/fixed pairing applied in the
     reference's flat (t, p, a) order first so the VALUES are bit-identical
-    to stage_actor_minibatch's."""
+    to stage_actor_minibatch's.
+
+    With ``pair_axis`` (inside shard_map over a data mesh) the faithful
+    pairing follows the reference's GLOBAL flat tile via
+    ``_pair_rows_sharded`` — the tiny (T, P) returns - values difference
+    is all_gathered and each shard gathers exactly its own rows — and
+    the relayout below stays per-shard local (the tile layout under
+    shard_map IS the per-shard kernel layout)."""
     t, p = returns.shape
     a = cfg.num_agents
     nb = p // (SUB * LANE)
-    adv = (_pair_rows(returns.reshape(t * p), a, cfg.faithful)
-           - _pair_rows(values.reshape(t * p), a, cfg.faithful))
+    if pair_axis is not None:
+        adv = _pair_rows_sharded(returns - values.reshape(t, p), a,
+                                 cfg.faithful, pair_axis)
+    else:
+        adv = (_pair_rows(returns.reshape(t * p), a, cfg.faithful)
+               - _pair_rows(values.reshape(t * p), a, cfg.faithful))
     # flat (t, p, a) -> (T, A, P) -> tile the env axis (inverse of
     # fused_rollout.untile: p = block*1024 + sublane*128 + lane)
     adv = adv.reshape(t, p, a).transpose(0, 2, 1)
@@ -118,12 +138,33 @@ def stage_adv_tiled(returns, values, cfg: MAPPOConfig) -> jax.Array:
             .reshape(t, a, SUB, nb * LANE))
 
 
-def make_tiled_actor_grad(cfg: MAPPOConfig, interpret: bool = False):
+def _interp_param(interpret: bool, generic_interpret: bool):
+    """pallas_call ``interpret`` argument: the GENERIC interpreter (pure
+    traced JAX) for multi-shard CPU tests — the TPU-interpret simulator
+    wedges under concurrent shard threads (fused_collect.py notes) —
+    else the TPU-semantics simulator, else compiled."""
+    if generic_interpret:
+        return True
+    return pltpu.InterpretParams() if interpret else False
+
+
+def make_tiled_actor_grad(cfg: MAPPOConfig, interpret: bool = False,
+                          tw_cap: int | None = None,
+                          psum_axis: str | None = None,
+                          n_shards: int = 1,
+                          generic_interpret: bool = False):
     """Build ``grad(params, tiled, adv_t) -> (loss, ActorParams grads)``
-    over the FULL buffer (the tiled path is full-batch only)."""
+    over the FULL buffer (the tiled path is full-batch only).
+
+    With ``psum_axis`` (inside shard_map) the kernel's loss/grad SUMS
+    are all-reduced over that mesh axis before the 1/n_rows scaling, and
+    ``n_shards`` scales the locally-visible row count to the GLOBAL one
+    — the data-parallel gradient exactly as the staged kernels produce
+    it (fused_update.make_fused_actor_grad)."""
     a_ag, obs_size = cfg.num_agents, cfg.obs_size
     eps, ent_c = cfg.epsilon, cfg.ent_const
     g = SUB
+    tw_cap = _tw_cap() if tw_cap is None else tw_cap
     dtype = jnp.bfloat16 if cfg.bf16_updates else None
 
     def kernel(obs_ref, act_ref, lp_ref, adv_ref, abd, cp,
@@ -161,9 +202,9 @@ def make_tiled_actor_grad(cfg: MAPPOConfig, interpret: bool = False):
         t, rows, sub, nbl = tiled.obs.shape
         assert rows == a_ag * obs_size and sub == SUB
         nb = nbl // LANE
-        tw = _time_window(t)
+        tw = _time_window(t, tw_cap)
         grid = (t // tw, nb)
-        n_rows = t * nbl * SUB * a_ag
+        n_rows = t * nbl * SUB * a_ag * n_shards
         a_comp, c_comp = _affine_compose(params)
         go = g * obs_size
 
@@ -185,7 +226,7 @@ def make_tiled_actor_grad(cfg: MAPPOConfig, interpret: bool = False):
             out_specs=[full((1, 1)), full((4 * g, go)), full((4 * g, 1))],
             out_shape=[jax.ShapeDtypeStruct(sh, jnp.float32) for sh in
                        ((1, 1), (4 * g, go), (4 * g, 1))],
-            interpret=pltpu.InterpretParams() if interpret else False,
+            interpret=_interp_param(interpret, generic_interpret),
         )(
             tiled.obs, tiled.actions, tiled.log_probs, adv_t,
             _bd_chan_chan(a_comp, g),
@@ -193,9 +234,12 @@ def make_tiled_actor_grad(cfg: MAPPOConfig, interpret: bool = False):
         )
         dz = _unpack_chan_chan(dzbd, 4, obs_size, g)
         dzs = jnp.sum(dzsum.reshape(4, g), axis=1)
+        sums = (loss[0, 0], _affine_recompose(params, dz, dzs))
+        if psum_axis is not None:
+            sums = jax.lax.psum(sums, psum_axis)
+        loss_sum, gsums = sums
         inv_n = 1.0 / n_rows
-        return loss[0, 0] * inv_n, jax.tree.map(
-            lambda g_: g_ * inv_n, _affine_recompose(params, dz, dzs))
+        return loss_sum * inv_n, jax.tree.map(lambda g_: g_ * inv_n, gsums)
 
     return grad
 
@@ -212,7 +256,11 @@ def stage_vr_tiled(x: jax.Array) -> jax.Array:
             .reshape(t, SUB, nb * LANE))
 
 
-def make_tiled_critic_grad(cfg: MAPPOConfig, interpret: bool = False):
+def make_tiled_critic_grad(cfg: MAPPOConfig, interpret: bool = False,
+                           tw_cap: int | None = None,
+                           psum_axis: str | None = None,
+                           n_shards: int = 1,
+                           generic_interpret: bool = False):
     """Build ``grad(params, obs_tiles, vold_t, ret_t) -> (loss,
     CriticParams grads)`` over the FULL buffer — the tiled counterpart of
     ops/fused_update.make_fused_critic_grad (clipped-value loss, reference
@@ -233,6 +281,7 @@ def make_tiled_critic_grad(cfg: MAPPOConfig, interpret: bool = False):
     a_ag, obs_size = cfg.num_agents, cfg.obs_size
     in_size = a_ag * obs_size
     eps = cfg.epsilon
+    tw_cap = _tw_cap() if tw_cap is None else tw_cap
     dtype = jnp.bfloat16 if cfg.bf16_updates else None
 
     def kernel(obs_ref, vold_ref, ret_ref, w1t, b1, w2t, b2,
@@ -272,9 +321,9 @@ def make_tiled_critic_grad(cfg: MAPPOConfig, interpret: bool = False):
         t, rows, sub, nbl = obs_tiles.shape
         assert rows == in_size and sub == SUB
         nb = nbl // LANE
-        tw = _time_window(t)
+        tw = _time_window(t, tw_cap)
         grid = (t // tw, nb)
-        n_rows = t * nbl * SUB
+        n_rows = t * nbl * SUB * n_shards
 
         def tile_spec(rdim):
             return pl.BlockSpec((tw, rdim, SUB, LANE),
@@ -301,30 +350,58 @@ def make_tiled_critic_grad(cfg: MAPPOConfig, interpret: bool = False):
             out_shape=[jax.ShapeDtypeStruct(sh, jnp.float32) for sh in
                        ((1, 1), (h_size, in_size), (h_size, 1),
                         (1, h_size), (1, 1))],
-            interpret=pltpu.InterpretParams() if interpret else False,
+            interpret=_interp_param(interpret, generic_interpret),
         )(
             obs_tiles, vold_t, ret_t,
             params.fc1.w.T, params.fc1.b[:, None],
             params.fc2.w.T, params.fc2.b[:, None],
         )
         loss, dw1, db1, dw2, db2 = outs
+        sums = (loss[0, 0],
+                CriticParams(fc1=Dense(dw1.T, db1[:, 0]),
+                             fc2=Dense(dw2.T, db2[0, :])))
+        if psum_axis is not None:
+            sums = jax.lax.psum(sums, psum_axis)
+        loss_sum, gsums = sums
         inv_n = 1.0 / n_rows
-        return loss[0, 0] * inv_n, jax.tree.map(
-            lambda g_: g_ * inv_n,
-            CriticParams(fc1=Dense(dw1.T, db1[:, 0]),
-                         fc2=Dense(dw2.T, db2[0, :])))
+        return loss_sum * inv_n, jax.tree.map(lambda g_: g_ * inv_n, gsums)
 
     return grad
 
 
-def make_tiled_critic_trainer(cfg: MAPPOConfig, interpret: bool | None = None):
+def _shard_phase(phase, mesh, axis):
+    """shard_map a tiled-update phase: params/opt replicated, the tile
+    leaves sharded on their env (last) axis, the (T, P) per-row tensors
+    on their env axis — the per-shard slices ARE the per-shard collect
+    kernel's outputs, so no relayout happens at the boundary."""
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        phase,
+        mesh=mesh,
+        in_specs=(P(), P(), TiledRollout(*([P(None, None, None, axis)] * 3)),
+                  P(None, axis), P(None, axis, None)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,  # pallas outs carry no vma metadata
+    )
+
+
+def make_tiled_critic_trainer(cfg: MAPPOConfig, interpret: bool | None = None,
+                              mesh=None, axis: str = "data",
+                              tw_cap: int | None = None,
+                              generic_interpret: bool = False):
     """Build ``train(ts, buffer, tiled) -> (ts, losses)`` — the drop-in
     for ``MAPPO.train_critic`` when the buffer came from
     ``make_fused_collect(..., return_tiled=True)``.  Full-batch only,
     like the tiled actor trainer.  With BOTH tiled trainers active the
     canonical buffer's obs/actions/log_probs become dead values inside
     the jitted repeat, so XLA drops the collect's big untile relayouts
-    entirely (returns processing needs only rewards/values/done)."""
+    entirely (returns processing needs only rewards/values/done).
+
+    With ``mesh`` the phase shard_maps over ``axis``: the kernel runs on
+    each shard's own tile slice (exactly what the meshed collect kernel
+    emitted — zero cross-shard staging) and the loss/grad sums psum
+    before Adam, like the staged kernels (make_mappo)."""
     if cfg.batch_size != cfg.buffer_len:
         raise NotImplementedError(
             "the tiled update path is full-batch only "
@@ -332,16 +409,20 @@ def make_tiled_critic_trainer(cfg: MAPPOConfig, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     tx = optax.adam(cfg.lr)  # same construction as make_mappo's critic_tx
-    kernel_grad = make_tiled_critic_grad(cfg, interpret=interpret)
+    n_shards = 1 if mesh is None else mesh.shape[axis]
+    kernel_grad = make_tiled_critic_grad(
+        cfg, interpret=interpret, tw_cap=tw_cap,
+        psum_axis=axis if mesh is not None else None, n_shards=n_shards,
+        generic_interpret=generic_interpret)
 
     # Faithful last-step drop (reference models.py:167-171, replicated by
     # algo/mappo.py minibatch_slices): the full-batch slice ends at -1.
     size = cfg.buffer_len - 1 if cfg.faithful else cfg.buffer_len
 
-    def train(ts, buffer, tiled: TiledRollout):
+    def phase(params, opt, tiled: TiledRollout, returns, values):
         obs_tiles = tiled.obs[:size]
-        vold_t = stage_vr_tiled(buffer.values[:size, :, 0])
-        ret_t = stage_vr_tiled(buffer.returns[:size])
+        vold_t = stage_vr_tiled(values[:size, :, 0])
+        ret_t = stage_vr_tiled(returns[:size])
 
         def epoch(carry, _):
             params, opt = carry
@@ -351,18 +432,35 @@ def make_tiled_critic_trainer(cfg: MAPPOConfig, interpret: bool | None = None):
             return (params, opt), loss
 
         (params, opt), losses = jax.lax.scan(
-            epoch, (ts.critic, ts.critic_opt), None, length=cfg.num_epochs)
+            epoch, (params, opt), None, length=cfg.num_epochs)
+        return params, opt, losses
+
+    if mesh is not None:
+        phase = _shard_phase(phase, mesh, axis)
+
+    def train(ts, buffer, tiled: TiledRollout):
+        params, opt, losses = phase(ts.critic, ts.critic_opt, tiled,
+                                    buffer.returns, buffer.values)
         return ts._replace(critic=params, critic_opt=opt), losses
 
     return train
 
 
-def make_tiled_actor_trainer(cfg: MAPPOConfig, interpret: bool | None = None):
+def make_tiled_actor_trainer(cfg: MAPPOConfig, interpret: bool | None = None,
+                             mesh=None, axis: str = "data",
+                             tw_cap: int | None = None,
+                             generic_interpret: bool = False):
     """Build ``train(ts, buffer, tiled) -> (ts, losses)`` — the drop-in
     for ``MAPPO.train_actor`` when the buffer came from
     ``make_fused_collect(..., return_tiled=True)``.  Full-batch only
     (time-sliced minibatches would need window-aligned slicing of the
-    tiled arrays; the staged path covers that case)."""
+    tiled arrays; the staged path covers that case).
+
+    With ``mesh`` the phase shard_maps over ``axis`` (see
+    make_tiled_critic_trainer); faithful advantage pairing follows the
+    reference's GLOBAL flat tile via stage_adv_tiled's ``pair_axis``
+    (a KB-scale all_gather of the (T, P) returns - values — the same
+    treatment the staged path got in _pair_rows_sharded)."""
     if cfg.batch_size != cfg.buffer_len:
         raise NotImplementedError(
             "the tiled update path is full-batch only "
@@ -370,18 +468,23 @@ def make_tiled_actor_trainer(cfg: MAPPOConfig, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     tx = optax.adam(cfg.lr)  # same construction as make_mappo's actor_tx
-    kernel_grad = make_tiled_actor_grad(cfg, interpret=interpret)
+    n_shards = 1 if mesh is None else mesh.shape[axis]
+    pair_axis = axis if (mesh is not None and cfg.faithful) else None
+    kernel_grad = make_tiled_actor_grad(
+        cfg, interpret=interpret, tw_cap=tw_cap,
+        psum_axis=axis if mesh is not None else None, n_shards=n_shards,
+        generic_interpret=generic_interpret)
 
     # Faithful last-step drop (reference models.py:167-171, replicated by
     # algo/mappo.py minibatch_slices): the full-batch slice ends at -1.
     size = cfg.buffer_len - 1 if cfg.faithful else cfg.buffer_len
 
-    def train(ts, buffer, tiled: TiledRollout):
+    def phase(params, opt, tiled: TiledRollout, returns, values):
         tiled = TiledRollout(*(x[:size] for x in tiled))
         # Pairing runs WITHIN the slice (the reference tiles the sliced
         # minibatch, so the faithful wrap is modulo size*P).
-        adv_t = stage_adv_tiled(buffer.returns[:size],
-                                buffer.values[:size], cfg)
+        adv_t = stage_adv_tiled(returns[:size], values[:size], cfg,
+                                pair_axis=pair_axis)
 
         def epoch(carry, _):
             params, opt = carry
@@ -391,7 +494,15 @@ def make_tiled_actor_trainer(cfg: MAPPOConfig, interpret: bool | None = None):
             return (params, opt), loss
 
         (params, opt), losses = jax.lax.scan(
-            epoch, (ts.actor, ts.actor_opt), None, length=cfg.num_epochs)
+            epoch, (params, opt), None, length=cfg.num_epochs)
+        return params, opt, losses
+
+    if mesh is not None:
+        phase = _shard_phase(phase, mesh, axis)
+
+    def train(ts, buffer, tiled: TiledRollout):
+        params, opt, losses = phase(ts.actor, ts.actor_opt, tiled,
+                                    buffer.returns, buffer.values)
         return ts._replace(actor=params, actor_opt=opt), losses
 
     return train

@@ -160,47 +160,29 @@ class StepMath:
             feats_all.append(feats + o_ang + o_dist + n_ang + n_dist)
         return feats_all
 
-    def actor_mlp(self, feats, w1t, b1, wmut, bmu, wvart, bvar, h_size,
-                  want_var: bool):
-        """One agent's actor forward as scalar-FMA over tiles; no fc1
-        activation (reference models.py:29).  Weight scalars are read from
-        SMEM refs INSIDE the loop body (preloading them before the time
-        loop keeps 700+ scalars live and forces register spills).
+    def actor_affine(self, feats, wa, ca, want_var: bool):
+        """One agent's actor forward via the precomposed affine operator.
+
+        The reference actor applies NO hidden activation (reference
+        models.py:29), so obs -> head preactivations is affine:
+        z = A x + c with A = [(W1 Wmu)^T; (W1 Wvar)^T] (4, obs) and
+        c = [b1 Wmu + bmu; b1 Wvar + bvar] — the same collapse that made
+        the affine UPDATE kernel 4.4x (ops/fused_update._affine_compose,
+        composed at HIGHEST matmul precision so the operator is f32-exact).
+        Replaces the chained 12->H->4 scalar-FMA walk (~800 tile-FMAs per
+        agent per step at H=50) with 48 FMAs + the same transcendentals;
+        weight scalars are read from SMEM refs inside the loop body.
         Returns (mu[2], var[2] or None)."""
-        h = [
-            sum((w1t[j, f] * feats[f] for f in range(1, self.obs_size)),
-                w1t[j, 0] * feats[0]) + b1[j, 0]
-            for j in range(h_size)
+        k_rows = 4 if want_var else 2
+        z = [
+            sum((wa[k, f] * feats[f] for f in range(1, self.obs_size)),
+                wa[k, 0] * feats[0]) + ca[k, 0]
+            for k in range(k_rows)
         ]
-        mu = [
-            jnp.tanh(
-                sum((wmut[k, j] * h[j] for j in range(1, h_size)),
-                    wmut[k, 0] * h[0]) + bmu[k, 0])
-            for k in range(2)
-        ]
+        mu = [jnp.tanh(z[0]), jnp.tanh(z[1])]
         if not want_var:
             return mu, None
-        var = [
-            jax.nn.softplus(
-                sum((wvart[k, j] * h[j] for j in range(1, h_size)),
-                    wvart[k, 0] * h[0]) + bvar[k, 0])
-            for k in range(2)
-        ]
-        return mu, var
-
-    def critic_mlp(self, feats_all, wc1t, bc1, wc2t, bc2, hc_size):
-        """Centralized critic on all agents' feature tiles: the reference's
-        (A*obs -> H) ReLU (H -> 1) (reference models.py:39-56)."""
-        flat = [f for feats in feats_all for f in feats]  # A*obs_size tiles
-        n = len(flat)
-        h = [
-            jnp.maximum(
-                sum((wc1t[j, f] * flat[f] for f in range(1, n)),
-                    wc1t[j, 0] * flat[0]) + bc1[j, 0], 0.0)
-            for j in range(hc_size)
-        ]
-        return sum((wc2t[0, j] * h[j] for j in range(1, hc_size)),
-                   wc2t[0, 0] * h[0]) + bc2[0, 0]
+        return mu, [jax.nn.softplus(z[2]), jax.nn.softplus(z[3])]
 
     def dynamics(self, px, py, hx, hy, sp, ang_raw, acc_raw):
         """Action scaling + clamped integrator (env/dynamics.py)."""

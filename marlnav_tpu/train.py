@@ -108,14 +108,16 @@ def train(
         # also fused and minibatches are full-batch, the ACTOR update
         # consumes the collect kernel's native tile outputs directly — the
         # canonical->staged relayouts (~15.6 ms of the default-config
-        # repeat, BASELINE.md) disappear.  Mesh keeps the staged path (the
-        # tiled trainers are single-shard).  Hardware-validated and
-        # DEFAULT since the v5e composed-repeat benches
-        # (scripts/bench_composed.py; numbers in BASELINE.md).  Opt out
-        # with MARLNAV_TILED_UPDATES=0 (accepted: 0 / false / off).
+        # repeat, BASELINE.md) disappear.  Under a mesh the trainers
+        # shard_map over 'data' (round 4): each shard's kernel consumes
+        # its own collect tiles and the grad sums psum, exactly like the
+        # staged mesh phase.  Hardware-validated and DEFAULT since the
+        # v5e composed-repeat benches (scripts/bench_composed.py; numbers
+        # in BASELINE.md).  Opt out with MARLNAV_TILED_UPDATES=0
+        # (accepted: 0 / false / off).
         import os as _os
 
-        tiled_eligible = (cfg.model.fused_updates and mesh is None
+        tiled_eligible = (cfg.model.fused_updates
                           and cfg.model.batch_size == cfg.model.buffer_len)
         tiled_path = (tiled_eligible
                       and _os.environ.get("MARLNAV_TILED_UPDATES", "1")
@@ -136,7 +138,6 @@ def train(
             # The fallback is correct but slower — say so instead of
             # silently routing a mesh / sliced-minibatch run to it.
             why = ("disabled by MARLNAV_TILED_UPDATES" if tiled_eligible
-                   else "mesh" if mesh is not None
                    else f"sliced minibatches (batch_size "
                         f"{cfg.model.batch_size} != buffer_len "
                         f"{cfg.model.buffer_len})")
@@ -152,10 +153,10 @@ def train(
             )
 
             train_actor_tiled = jax.jit(make_tiled_actor_trainer(
-                cfg.model, interpret=interpret))
+                cfg.model, interpret=interpret, mesh=mesh))
             if critic_tiled:
                 train_critic_tiled = jax.jit(make_tiled_critic_trainer(
-                    cfg.model, interpret=interpret))
+                    cfg.model, interpret=interpret, mesh=mesh))
         # Checkpoints always store the canonical EnvState layout (the rows
         # layout is a kernel-internal detail), so resumes work across a
         # --fused-collect flag flip in either direction.

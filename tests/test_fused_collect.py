@@ -529,6 +529,107 @@ def test_two_shard_mesh_generic_interpret():
         for x, y in zip(jax.tree.leaves(rows_k),
                         jax.tree.leaves(jax.tree.map(sl, rows_m))):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # Every per-shard buffer leaf must be bitwise (round-4 verdict
+        # item 4: the old assertion covered only rows + obs).  returns
+        # are global (whole-buffer normalization) and values go through
+        # the global post-kernel critic contraction — both are covered
+        # against the no-mesh full-batch run below.
+        env_slice = lambda x: x[:, k * shard_p:(k + 1) * shard_p]
+        for field in ("obs", "actions", "values", "done"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(buf_k, field)),
+                np.asarray(env_slice(getattr(buf_m, field))),
+                err_msg=field)
         np.testing.assert_array_equal(
-            np.asarray(buf_k.obs),
-            np.asarray(buf_m.obs[:, k * shard_p:(k + 1) * shard_p]))
+            np.asarray(buf_k.log_probs.reshape(t, shard_p, A)),
+            np.asarray(buf_m.log_probs.reshape(t, big_p, A)
+                       [:, k * shard_p:(k + 1) * shard_p]))
+
+    # With host-injected noise the kernel consumes NO PRNG, so the meshed
+    # run must equal a no-mesh FULL-BATCH run bitwise on every leaf —
+    # including returns (identical global normalization reductions) and
+    # values (identical post-kernel critic contraction on identical obs
+    # tiles).  This is the strongest form of the §2.6 DP contract: the
+    # mesh is purely a partitioning of the same program.
+    full = jax.jit(make_fused_collect(
+        cfg, ep, icfg, NormalizerConfig(), ScalerConfig(),
+        noise_input=True, generic_interpret=True), static_argnums=2)
+    rows_f, buf_f, met_f = full(ts, rows0, 7, noise=noise)
+    for x, y in zip(jax.tree.leaves(rows_f), jax.tree.leaves(rows_m)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for name, x, y in zip(buf_f._fields, buf_f, buf_m):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+    np.testing.assert_allclose(float(met_f.mean_rew), float(met_m.mean_rew),
+                               rtol=1e-6)
+
+
+def test_two_shard_full_pipeline_one_program():
+    """The FULL fused pipeline — meshed fused collect (return_tiled) ->
+    shard_mapped tiled actor update -> shard_mapped tiled critic update —
+    executed at 2 shards inside ONE jitted program (round-4 verdict item
+    4: "composition bugs at the collect->update sharding boundary have
+    nowhere to show up").  Faithful semantics, so stage_adv_tiled's
+    _pair_rows_sharded all_gather runs at the boundary.  Reference: the
+    identical no-mesh full-batch pipeline on the same host noise (the
+    kernels consume no PRNG), which must agree to psum-reassociation
+    tolerance on losses and trained parameters."""
+    from marlnav_tpu.ops.fused_update_tiled import (
+        make_tiled_actor_trainer,
+        make_tiled_critic_trainer,
+    )
+    from marlnav_tpu.ops.step_math import BLOCK_ENVS
+    from marlnav_tpu.parallel import make_mesh
+
+    n_shards, t = 2, 2
+    big_p = 2 * BLOCK_ENVS
+    cfg = MAPPOConfig(num_parallel=big_p, buffer_len=t, batch_size=t,
+                      num_epochs=2, num_total=t * big_p, faithful=True,
+                      fused_updates=True)
+    ep = EnvParams(num_parallel=big_p, num_agents=A)
+    icfg = TriangleInitConfig(num_parallel=big_p, num_obstacles=O)
+    env = make_env(ep, icfg, None)
+    mappo = make_mappo(cfg, env, NormalizerConfig(), ScalerConfig())
+    ts, s0 = mappo.init(jax.random.PRNGKey(0))
+    rows0 = env_state_to_rows(s0)
+    noise = jax.random.uniform(jax.random.PRNGKey(5),
+                               (t, N_DRAWS, 8, big_p // 8), jnp.float32)
+
+    mesh = make_mesh(num_data=n_shards, num_model=1,
+                     devices=jax.devices()[:n_shards])
+
+    def build_pipeline(use_mesh):
+        m = mesh if use_mesh else None
+        fc = make_fused_collect(cfg, ep, icfg, NormalizerConfig(),
+                                ScalerConfig(), noise_input=True,
+                                generic_interpret=True, mesh=m,
+                                return_tiled=True)
+        ta = make_tiled_actor_trainer(cfg, interpret=False,
+                                      generic_interpret=True, mesh=m)
+        tc = make_tiled_critic_trainer(cfg, interpret=False,
+                                       generic_interpret=True, mesh=m)
+
+        def pipeline(ts, rows, noise):
+            rows, buf, metrics, tiled = fc(ts, rows, 7, noise=noise)
+            ts, al = ta(ts, buf, tiled)
+            ts, cl = tc(ts, buf, tiled)
+            return ts, rows, al, cl
+
+        return jax.jit(pipeline)
+
+    ts_m, rows_m, al_m, cl_m = jax.block_until_ready(
+        build_pipeline(True)(ts, rows0, noise))
+    ts_f, rows_f, al_f, cl_f = jax.block_until_ready(
+        build_pipeline(False)(ts, rows0, noise))
+
+    for x, y in zip(jax.tree.leaves(rows_m), jax.tree.leaves(rows_f)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_allclose(np.asarray(al_m), np.asarray(al_f),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cl_m), np.asarray(cl_f),
+                               rtol=1e-4, atol=1e-5)
+    for name in ("actor", "critic"):
+        for x, y in zip(jax.tree.leaves(getattr(ts_m, name)),
+                        jax.tree.leaves(getattr(ts_f, name))):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-5, err_msg=name)

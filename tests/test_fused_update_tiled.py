@@ -87,13 +87,19 @@ def test_bd_chan_chan_structure():
 
 
 def test_time_window_divisors():
+    """The cap is an explicit argument (resolved from MARLNAV_TILED_TW_CAP
+    once per trainer build, never at import), so these assertions hold
+    regardless of the caller's environment."""
     from marlnav_tpu.ops.fused_update_tiled import _time_window
 
-    assert _time_window(1000) == 8
-    assert _time_window(999) == 3  # faithful default config (T-1)
-    assert _time_window(200) == 8
-    assert _time_window(7) == 7
-    assert _time_window(1) == 1
+    assert _time_window(1000, 8) == 8
+    assert _time_window(999, 8) == 3  # faithful default config (T-1)
+    assert _time_window(200, 8) == 8
+    assert _time_window(7, 8) == 7
+    assert _time_window(1, 8) == 1
+    assert _time_window(999, 27) == 27  # 999 = 3^3 * 37
+    assert _time_window(999, 37) == 37
+    assert _time_window(200, 25) == 25
 
 
 @pytest.mark.parametrize("faithful", [True, False])
@@ -218,6 +224,65 @@ def test_train_driver_tiled_path(tmp_path, monkeypatch):
     assert built == ["actor"] * 2 + ["actor", "critic"]  # unchanged
     assert len(logger3.logs["mean_rews"]) == 4
     assert np.isfinite(logger3.logs["mean_rews"]).all()
+
+
+@pytest.mark.parametrize("faithful", [True, False])
+def test_tiled_trainers_mesh_matches_single_shard(faithful):
+    """The tiled update path under a 2-shard data mesh (round-4 verdict
+    item 3): make_tiled_{actor,critic}_trainer(mesh=...) shard_map the
+    kernels over per-shard tile slices with psum'd gradient sums, and
+    must train identically (to psum-reassociation tolerance) to the
+    single-shard tiled trainers on the same buffers.  Faithful covers
+    stage_adv_tiled's _pair_rows_sharded all_gather (the reference's
+    GLOBAL flat advantage tile, reference models.py:285-286).  Both
+    sides run the GENERIC Pallas interpreter — the TPU-interpret
+    simulator wedges under concurrent shard threads (fused_collect.py
+    notes), and generic-vs-simulator is never compared bitwise."""
+    from marlnav_tpu.parallel import make_mesh
+
+    p2 = 2 * P
+    cfg2 = MAPPOConfig(num_agents=A, num_parallel=p2, obs_size=OBS,
+                       num_total=T * p2, buffer_len=T, batch_size=T,
+                       num_epochs=3, faithful=faithful, fused_updates=True)
+    env = make_env(EnvParams(num_parallel=p2),
+                   TriangleInitConfig(num_parallel=p2), None)
+    mappo = make_mappo(cfg2, env, NormalizerConfig(), ScalerConfig())
+    ts, _ = mappo.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(7)
+    buf = Buffer(
+        obs=jnp.asarray(rng.normal(size=(T, p2, A, OBS)), jnp.float32),
+        actions=jnp.asarray(rng.uniform(-1, 1, (T, p2, A, 2)), jnp.float32),
+        log_probs=jnp.asarray(rng.normal(size=(T, p2 * A)), jnp.float32),
+        values=jnp.asarray(rng.normal(size=(T, p2, 1)), jnp.float32),
+        returns=jnp.asarray(rng.normal(size=(T, p2)), jnp.float32),
+        done=jnp.asarray(rng.uniform(size=(T, p2)) < 0.1),
+    )
+    tiled = TiledRollout(
+        obs=tile_env_axis(buf.obs.transpose(0, 2, 3, 1).reshape(
+            T, A * OBS, p2)),
+        actions=tile_env_axis(buf.actions.transpose(0, 2, 3, 1).reshape(
+            T, 2 * A, p2)),
+        log_probs=tile_env_axis(buf.log_probs.reshape(T, p2, A)
+                                .transpose(0, 2, 1)),
+    )
+
+    mesh = make_mesh(num_data=2, num_model=1, devices=jax.devices()[:2])
+    for make_trainer, leaf in ((make_tiled_actor_trainer, "actor"),
+                               (make_tiled_critic_trainer, "critic")):
+        solo = jax.jit(make_trainer(cfg2, interpret=False,
+                                    generic_interpret=True))
+        meshed = jax.jit(make_trainer(cfg2, interpret=False,
+                                      generic_interpret=True, mesh=mesh))
+        ts_s, losses_s = solo(ts, buf, tiled)
+        ts_m, losses_m = meshed(ts, buf, tiled)
+        np.testing.assert_allclose(np.asarray(losses_m),
+                                   np.asarray(losses_s),
+                                   rtol=1e-4, atol=1e-5, err_msg=leaf)
+        for x, y in zip(jax.tree.leaves(getattr(ts_m, leaf)),
+                        jax.tree.leaves(getattr(ts_s, leaf))):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-5, err_msg=leaf)
 
 
 def test_collect_return_tiled_matches_buffer():
