@@ -661,7 +661,19 @@ def _affine_compose(params):
     matmuls — nothing at runtime scale — and the collect kernel samples
     its whole trajectory through this operator, so bf16-pass compose
     error (~1e-3) would otherwise dominate every downstream parity
-    tolerance."""
+    tolerance.
+
+    The operator's BITS are program-dependent: the compose is traced
+    into every consuming program (solo kernel, meshed shard_map, XLA
+    mirror), and XLA compiles it with 1-ulp-different rounding per
+    program context.  Measured on CPU (round 4): the dot form, the dot
+    behind lax.optimization_barrier, and an unrolled fixed-order
+    scalar-chain form ALL produce cross-program ulp differences — there
+    is no traced formulation with a cross-program bit guarantee.  Mesh
+    parity tests therefore compare cross-PROGRAM results at ulp
+    tolerance and reserve bitwise assertions for within-executable
+    properties (tests/test_fused_collect.py::
+    test_two_shard_mesh_generic_interpret's shard-swap check)."""
     hi = jax.lax.Precision.HIGHEST
     w1, b1 = params.fc1.w, params.fc1.b  # (obs, H), (H,)
     wmu, bmu = params.fc_mu.w, params.fc_mu.b  # (H, 2), (2,)

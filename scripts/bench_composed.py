@@ -62,7 +62,7 @@ CONFIGS = {
 }
 
 
-def build(tag, variant):
+def build(tag, variant, tw_cap=None):
     p, t, epochs, kw = CONFIGS[tag]
     cfg = MAPPOConfig(num_parallel=p, buffer_len=t, batch_size=t,
                       num_epochs=epochs, num_total=t * p,
@@ -85,9 +85,11 @@ def build(tag, variant):
             make_tiled_critic_trainer,
         )
 
-        tat = make_tiled_actor_trainer(cfg, interpret=interpret)
+        tat = make_tiled_actor_trainer(cfg, interpret=interpret,
+                                       tw_cap=tw_cap)
         if variant.startswith("tiled2"):
-            tct = make_tiled_critic_trainer(cfg, interpret=interpret)
+            tct = make_tiled_critic_trainer(cfg, interpret=interpret,
+                                            tw_cap=tw_cap)
 
             def repeat(ts, rows, seed):
                 rows, buf, met, tiles = fc(ts, rows, seed)
@@ -114,6 +116,10 @@ def main():
     ap.add_argument("--variants", default="fused,tiled")
     ap.add_argument("--configs", default="default,GAE,GAE-16k")
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--tw-cap", type=int, default=None,
+                    help="tiled time-window cap (None = TW_CAP_DEFAULT); "
+                         "the effective window is the largest divisor of "
+                         "T <= cap")
     args = ap.parse_args()
 
     print("device:", jax.devices()[0].platform, jax.devices()[0].device_kind,
@@ -121,7 +127,7 @@ def main():
     n = args.repeats
     for tag in args.configs.split(","):
         for variant in args.variants.split(","):
-            ts, rows, repeat, steps = build(tag, variant)
+            ts, rows, repeat, steps = build(tag, variant, tw_cap=args.tw_cap)
 
             @jax.jit
             def block(ts, rows):

@@ -13,7 +13,14 @@ unvalidated stream.  This script runs ON THE TPU and checks:
   3. stream independence across grid blocks and adjacent seeds
      (correlation + collision checks) — the property the variadic
      ``prng_seed(seed, block)`` fold must provide;
-  4. the production reset path: ``make_fused_rollout`` with
+  4. (round 4) the MESH per-shard seed offsets: under a data mesh each
+     shard seeds the identical kernel at ``seed + axis_index * 2**20``
+     (ops/fused_collect.py per_shard); multi-shard execution is
+     environment-limited to 1 chip, but the offset streams themselves run
+     here at shard indices 1 and 7 — cross-stream correlation, KS
+     uniformity at the offset seeds, and block-pair collisions between
+     shard streams (catching additive seed/block-fold aliasing);
+  5. the production reset path: ``make_fused_rollout`` with
      ``episode_len=1`` (every step truncates -> resets) on the REAL PRNG —
      obstacle redraw bounds/spread and, with ``noisy_ags``, the Gaussian
      position noise and bounded heading rotation.
@@ -118,7 +125,31 @@ def main() -> int:
     check("seed_independence", abs(r_seeds) < 5e-3 and not collide,
           corr=r_seeds, adjacent_seed_block_collision=bool(collide))
 
-    # ---- 4. production reset path on the real PRNG ----------------------
+    # ---- 4. mesh per-shard seed-offset streams (round-4 verdict item 6) --
+    # The multi-chip RNG story, EXECUTED on the one available chip: the
+    # mesh path's shard k runs this same kernel at seed + k * 2**20, so
+    # the cross-SHARD independence claim reduces to cross-stream
+    # statistics between those seeds.
+    base = 123
+    u_s0 = u  # shard 0 == the 4-block seed-123 dump from section 1
+    for k in (1, 7):
+        u_sk = np.asarray(dump_random(base + k * (1 << 20), 64, 4))
+        fk = u_sk.reshape(-1)
+        r_shard = np.corrcoef(flat, fk)[0, 1]
+        ks_k = sps.kstest(fk[:200_000], "uniform")
+        # Any block of shard 0 equal to any block of shard k would mean
+        # the (seed, block) fold aliases across the 2**20 shard stride
+        # (the flagship grid is <= 16 blocks/shard, far below 2**20, but
+        # an additive fold with a multiplier could still collide).
+        collide_k = any(
+            np.array_equal(u_s0[i], u_sk[j])
+            for i in range(u_s0.shape[0]) for j in range(u_sk.shape[0]))
+        check(f"mesh_shard_stream_k{k}",
+              abs(r_shard) < 5e-3 and ks_k.pvalue > 1e-4 and not collide_k,
+              corr=r_shard, ks_p=ks_k.pvalue,
+              block_collision=bool(collide_k))
+
+    # ---- 5. production reset path on the real PRNG ----------------------
     from marlnav_tpu.config import (EnvParams, NormalizerConfig,
                                     ScalerConfig, TriangleInitConfig)
     from marlnav_tpu.env import make_env

@@ -478,9 +478,19 @@ def test_two_shard_mesh_generic_interpret():
     but the *generic* Pallas interpreter (``generic_interpret=True``) is
     pure traced JAX with no simulator state, so the identical kernel
     Python runs under a real 2-shard ``shard_map``.  Each shard's output
-    must BITWISE equal an independent 1-shard kernel run on that shard's
-    env slice (the mesh path's documented semantics: shards are fully
-    independent sub-batches).  One env-block per shard keeps the
+    must equal an independent 1-shard kernel run on that shard's env
+    slice (the mesh path's documented semantics: shards are fully
+    independent sub-batches) at ULP tolerance: those are two different
+    XLA programs, and XLA compiles the traced actor-operator compose
+    with 1-ulp-different rounding per program context (measured round 4
+    for dot / barrier-isolated dot / unrolled-chain forms alike — see
+    fused_update._affine_compose).  Real partitioning bugs produce O(1)
+    errors, so the tight tolerance loses no bug-catching power; the
+    BITWISE assertions live where bitwise is actually guaranteed —
+    within one executable — via the shard-swap check below (swapping the
+    two shards' inputs must swap every output bitwise, which fails under
+    any cross-shard leakage or shard-position dependence).  One
+    env-block per shard keeps the
     unrolled interpreter trace affordable on the 1-core box (~4 min);
     multi-block grids per shard are covered by
     test_multi_block_split_equals_full_batch and the real-TPU mesh check
@@ -526,40 +536,81 @@ def test_two_shard_mesh_generic_interpret():
                         (k + 1) * (big_p // 8) // n_shards]
         rows_k, buf_k, _ = solo(ts, jax.tree.map(sl, rows0), 7,
                                 noise=noise_k)
+        # Cross-PROGRAM comparisons run at ulp tolerance (see docstring;
+        # observed cross-program drift over t=2 steps is <= 7e-5 abs on
+        # O(100-1000) positions, while partitioning bugs are O(1)).
+        # Every per-shard buffer leaf is covered (round-4 verdict item
+        # 4: the old assertion covered only rows + obs).  returns are
+        # global (whole-buffer normalization) and values go through the
+        # global post-kernel critic contraction — both are covered
+        # against the no-mesh full-batch run below.
         for x, y in zip(jax.tree.leaves(rows_k),
                         jax.tree.leaves(jax.tree.map(sl, rows_m))):
-            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-        # Every per-shard buffer leaf must be bitwise (round-4 verdict
-        # item 4: the old assertion covered only rows + obs).  returns
-        # are global (whole-buffer normalization) and values go through
-        # the global post-kernel critic contraction — both are covered
-        # against the no-mesh full-batch run below.
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-3)
         env_slice = lambda x: x[:, k * shard_p:(k + 1) * shard_p]
-        for field in ("obs", "actions", "values", "done"):
-            np.testing.assert_array_equal(
+        np.testing.assert_array_equal(np.asarray(buf_k.done),
+                                      np.asarray(env_slice(buf_m.done)))
+        for field in ("obs", "actions", "values"):
+            np.testing.assert_allclose(
                 np.asarray(getattr(buf_k, field)),
                 np.asarray(env_slice(getattr(buf_m, field))),
-                err_msg=field)
-        np.testing.assert_array_equal(
+                rtol=1e-4, atol=1e-3, err_msg=field)
+        np.testing.assert_allclose(
             np.asarray(buf_k.log_probs.reshape(t, shard_p, A)),
             np.asarray(buf_m.log_probs.reshape(t, big_p, A)
-                       [:, k * shard_p:(k + 1) * shard_p]))
+                       [:, k * shard_p:(k + 1) * shard_p]),
+            rtol=1e-4, atol=1e-4)
+
+    # The genuinely BITWISE contract — within ONE executable: swapping
+    # the two shards' inputs (env blocks of rows0 and the matching noise
+    # lanes) must swap every output bitwise.  Same compiled program ->
+    # deterministic; any cross-shard leakage, shard-position dependence,
+    # or noise mis-routing breaks it exactly.  Global reductions are
+    # invariant too: the psum adds the same two per-shard partials in
+    # the same device order, and IEEE addition is commutative.
+    def swap(x):
+        return jnp.concatenate([x[..., x.shape[-1] // 2:],
+                                x[..., :x.shape[-1] // 2]], axis=-1)
+
+    rows_s, buf_s, met_s = jax.block_until_ready(
+        meshed(ts, jax.tree.map(swap, rows0), 7,
+               noise=swap(noise)))
+    for x, y in zip(jax.tree.leaves(rows_s),
+                    jax.tree.leaves(jax.tree.map(swap, rows_m))):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    swap1 = lambda x: np.concatenate([x[:, shard_p:], x[:, :shard_p]],
+                                     axis=1)
+    for field in ("obs", "actions", "values", "done"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(buf_s, field)),
+            swap1(np.asarray(getattr(buf_m, field))), err_msg=field)
+    np.testing.assert_array_equal(
+        np.asarray(buf_s.log_probs.reshape(t, big_p, A)),
+        swap1(np.asarray(buf_m.log_probs).reshape(t, big_p, A)))
+    np.testing.assert_array_equal(np.asarray(met_s.mean_rew),
+                                  np.asarray(met_m.mean_rew))
 
     # With host-injected noise the kernel consumes NO PRNG, so the meshed
-    # run must equal a no-mesh FULL-BATCH run bitwise on every leaf —
-    # including returns (identical global normalization reductions) and
-    # values (identical post-kernel critic contraction on identical obs
-    # tiles).  This is the strongest form of the §2.6 DP contract: the
-    # mesh is purely a partitioning of the same program.
+    # run must equal a no-mesh FULL-BATCH run on every leaf — including
+    # returns (same global normalization reductions) and values (same
+    # post-kernel critic contraction on the same obs tiles) — at the
+    # same cross-program ulp tolerance.  This is the §2.6 DP contract:
+    # the mesh is purely a partitioning of the same computation.
     full = jax.jit(make_fused_collect(
         cfg, ep, icfg, NormalizerConfig(), ScalerConfig(),
         noise_input=True, generic_interpret=True), static_argnums=2)
     rows_f, buf_f, met_f = full(ts, rows0, 7, noise=noise)
     for x, y in zip(jax.tree.leaves(rows_f), jax.tree.leaves(rows_m)):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(buf_f.done),
+                                  np.asarray(buf_m.done))
     for name, x, y in zip(buf_f._fields, buf_f, buf_m):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
-                                      err_msg=name)
+        if name == "done":
+            continue
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-3, err_msg=name)
     np.testing.assert_allclose(float(met_f.mean_rew), float(met_m.mean_rew),
                                rtol=1e-6)
 
@@ -622,8 +673,11 @@ def test_two_shard_full_pipeline_one_program():
     ts_f, rows_f, al_f, cl_f = jax.block_until_ready(
         build_pipeline(False)(ts, rows0, noise))
 
+    # Cross-program comparison: ulp tolerance (the meshed and no-mesh
+    # pipelines are different XLA programs — see _affine_compose).
     for x, y in zip(jax.tree.leaves(rows_m), jax.tree.leaves(rows_f)):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-3)
     np.testing.assert_allclose(np.asarray(al_m), np.asarray(al_f),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(cl_m), np.asarray(cl_f),
