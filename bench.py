@@ -151,7 +151,7 @@ def main(argv=None) -> None:
                         help="also measure the lax.scan path (its compile "
                              "takes minutes over the remote-TPU tunnel; "
                              "measured 80.9M steps/s vs the fused kernel's "
-                             "323M at the headline config)")
+                             "750M at the headline config)")
     ns = parser.parse_args(argv)
 
     dev = jax.devices()[0]

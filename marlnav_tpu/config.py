@@ -54,6 +54,17 @@ class EnvParams:
     target_factor: float = 500.0
     soft_factor: float = 500.0
     bond_factor: float = 10.0
+    # Group-convergence shaping (TPU-native extension, default OFF for
+    # reference parity): a soft-score on the MAX-over-agents target
+    # distance, -group_soft_factor * max_i d_i / init_dist, broadcast to
+    # every agent like the group bonus.  The reference's soft_factor
+    # rewards the MEAN distance, which the round-2/3 curriculum studies
+    # showed the degenerate "race" exploits (one agent dives at the
+    # target while the group never converges — docs/curriculum_r3.md
+    # "Honest status"); the max-based term is a continuous gradient
+    # toward SIMULTANEOUS convergence, the binary group bonus's missing
+    # precursor signal.
+    group_soft_factor: float = 0.0
     # Staggered resets (off for reference parity): initialize per-env step
     # counters uniformly over the episode so truncations (and the fresh
     # low-reward episode starts that follow) spread across rollout steps

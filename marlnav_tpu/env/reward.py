@@ -102,6 +102,13 @@ def rewards_and_terminations(
         + params.bond_factor * bond_score
         - params.risk_factor * risks
     )
+    if params.group_soft_factor:
+        # Group-convergence shaping (config.py EnvParams.group_soft_factor;
+        # no reference counterpart, default off): soft score on the
+        # max-over-agents target distance, broadcast like the group bonus.
+        group_soft = jnp.max(obs.target_distance[:, :, 0], axis=1,
+                             keepdims=True) / params.init_dist
+        reward = reward - params.group_soft_factor * group_soft
     return RewardOutput(
         rewards=jnp.mean(reward, axis=1),
         terminated=terminated,

@@ -86,15 +86,21 @@ def _unpack_chan_chan(dz: jax.Array, out: int, inn: int, g: int):
 import os as _os
 
 # Time steps per grid step (the kernels' first grid dimension).  Larger
-# windows mean fewer, larger grid steps at the cost of VMEM window size
-# (~147 KB per time step for the obs tile at nb=1).  Default measured on
-# v5e (round 4, scripts/bench_composed.py sweep — BASELINE.md "tiled
-# time-window tuning"); override per run with MARLNAV_TILED_TW_CAP.
-# The cap travels as an ARGUMENT from the trainer factories down to
-# _time_window — resolved from the environment once per factory call,
-# never at import — so tests and concurrent configs don't depend on
-# process-global state.
-TW_CAP_DEFAULT = 8
+# windows mean fewer, larger grid steps at the cost of VMEM window size:
+# at A=3 the four input tiles (obs 36 + actions 6 + log-probs 3 + adv 3 =
+# 48 rows) cost 48*8*128*4 B ~ 197 KB per time step, and double buffering
+# doubles it, so the 16 MB scoped-VMEM budget admits windows up to ~40
+# (measured: window 50 OOMs at every config, window 37 is the largest
+# divisor-reachable survivor).  Default measured on v5e (round 4,
+# scripts/bench_composed.py sweep — BASELINE.md "tiled time-window
+# tuning": composed repeats improve monotonically up to the VMEM edge,
+# default config 48.03 -> 44.05 ms across windows 3 -> 37, GAE-16k
+# 34.26 -> 32.16 ms from window 8 -> 25); override per run with
+# MARLNAV_TILED_TW_CAP.  The cap travels as an ARGUMENT from the trainer
+# factories down to _time_window — resolved from the environment once
+# per factory call, never at import — so tests and concurrent configs
+# don't depend on process-global state.
+TW_CAP_DEFAULT = 37
 
 
 def _tw_cap() -> int:

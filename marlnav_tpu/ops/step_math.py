@@ -210,9 +210,11 @@ class StepMath:
         reward_sum = jnp.zeros(TILE, jnp.float32)
         all_in_target = jnp.ones(TILE, jnp.float32)
         any_coll = jnp.zeros(TILE, jnp.float32)
+        max_t_dist = jnp.zeros(TILE, jnp.float32)
         for i in range(self.a):
             ddx, ddy = tx - npx[i], ty - npy[i]
             t_dist = jnp.sqrt(ddx * ddx + ddy * ddy)
+            max_t_dist = jnp.maximum(max_t_dist, t_dist)
             inv = 1.0 / jnp.maximum(t_dist, _NORMALIZE_EPS)
             t_dot = jnp.clip((nhx[i] * ddx + nhy[i] * ddy) * inv,
                              -1.0 + _ACOS_CLAMP, 1.0 - _ACOS_CLAMP)
@@ -270,8 +272,12 @@ class StepMath:
             )
 
         # Group target bonus broadcasts to every agent, so its mean
-        # contribution is just target_factor * all_in_target.
+        # contribution is just target_factor * all_in_target; likewise the
+        # group-convergence soft score (env/reward.py group_soft_factor
+        # branch — max-over-agents target distance, default off).
         reward = reward_sum / float(self.a) + p.target_factor * all_in_target
+        if p.group_soft_factor:
+            reward = reward - (p.group_soft_factor / p.init_dist) * max_t_dist
         return reward, all_in_target, any_coll
 
     def reset_blend(self, st, m, km, npx, npy, nhx, nhy, nsp, obx, oby,

@@ -273,7 +273,7 @@ def main():
         # real accumulator/zero-init/index lowering bug (the round-2
         # advisor's concern at the old degenerate (1,1) grids) shows up
         # at order 1.
-        from marlnav_tpu.ops.fused_update_tiled import _time_window
+        from marlnav_tpu.ops.fused_update_tiled import _time_window, _tw_cap
 
         def recombine(parts, weights):
             loss = sum(w * float(l) for (l, _), w in zip(parts, weights))
@@ -284,7 +284,7 @@ def main():
             return loss, grads
 
         size_t = tiled.obs.shape[0]
-        tw = _time_window(size_t)
+        tw = _time_window(size_t, _tw_cap())
         t_parts, l_parts = [], []
         for s in range(0, size_t, tw):
             sl_t = slice(s, s + tw)

@@ -60,7 +60,11 @@ from marlnav_tpu.config import (
     TriangleInitConfig,
 )
 from marlnav_tpu.env import make_env
-from marlnav_tpu.ops import env_state_to_rows, make_fused_collect
+from marlnav_tpu.ops import (
+    env_state_to_rows,
+    make_fused_collect,
+    make_fused_rollout,
+)
 
 P, T = 2048, 200
 
@@ -180,7 +184,23 @@ def run_noise_adaptive(ns):
     the variance head's bias by --var-shift, cutting the sampling std
     immediately instead of waiting for the weakened bonus to drift it
     down.  Metrics fetch in chunks of 25 repeats (async dispatch runs
-    ahead; a per-repeat fetch would pay the tunnel round trip 25x)."""
+    ahead; a per-repeat fetch would pay the tunnel round trip 25x).
+
+    Round-4 levers (verdict item 5; the r3 diagnosis is that below
+    radius ~130 reaches require the MEAN paths of all three agents to
+    converge simultaneously — docs/curriculum_r3.md "Honest status"):
+      --group-soft F     continuous group-convergence shaping: the
+                         EnvParams.group_soft_factor max-over-agents
+                         soft score (the binary disk bonus's missing
+                         precursor gradient)
+      --episode-len-small N  truncation horizon N (instead of 200) at
+                         radius <= --episode-len-radius: nearly-
+                         deterministic small-radius trajectories need
+                         longer survival windows to finish converging
+      --mean-eval        per-stage MEAN-ACTION rollout (fused rollout
+                         kernel, deterministic_actions=True); group
+                         reaches counted as target-bonus reward spikes.
+                         Measures mean-path convergence directly."""
     P_, T_ = 4096, 200
     icfg = TriangleInitConfig(num_parallel=P_, num_obstacles=3)
     base_seed = (ns.seed * 1_000_003) % (1 << 30)
@@ -202,8 +222,13 @@ def run_noise_adaptive(ns):
         # r3); default off.
         tf = (500_000.0 * (300.0 / max(radius, 30.0))
               if ns.bonus_scale else 500_000.0)
+        ep_len = (ns.episode_len_small
+                  if ns.episode_len_small and radius <= ns.episode_len_radius
+                  else 200)
         ep = EnvParams(num_parallel=P_, risk_factor=ns.risk,
                        target_factor=tf, target_radius=radius,
+                       group_soft_factor=ns.group_soft,
+                       episode_len=ep_len,
                        staggered_resets=True)
         mappo = make_mappo(cfg, make_env(ep, icfg, None),
                            NormalizerConfig(), ScalerConfig())
@@ -240,11 +265,22 @@ def run_noise_adaptive(ns):
         endings = tar + col + trunc
         share = tar / endings if endings else 0.0
         rec = {"stage": stage, "radius": radius, "ent_const": ent,
-               "target_factor": tf,
+               "target_factor": tf, "episode_len": ep_len,
                "var_bias_mean": round(float(jnp.mean(ts.actor.fc_var.b)), 3),
                "tar": tar, "tar_share": round(share, 4), "col": col,
                "trunc": trunc,
                "seconds": round(time.perf_counter() - t0, 1)}
+        if ns.mean_eval:
+            # Mean-path convergence, measured directly: one deterministic
+            # (policy-mean) rollout of the CURRENT stage env from the
+            # live env states.  Group reaches are exactly the steps whose
+            # mean reward carries the target bonus (tf/2 threshold: every
+            # other component is O(1e3) at these factors).
+            roll = jax.jit(make_fused_rollout(
+                ep, icfg, NormalizerConfig(), ScalerConfig(), T_,
+                deterministic_actions=True), static_argnums=2)
+            _, rew_e = roll(rows, ts.actor, 0)
+            rec["mean_tar"] = int((rew_e > tf / 2.0).sum())
         history.append(rec)
         print(json.dumps(rec), flush=True)
         np.savez(f"{ns.out}_actor_stage{stage}.npz", **{
@@ -310,6 +346,18 @@ def main():
     ap.add_argument("--var-shift", type=float, default=-0.5,
                     help="radius-noise-adaptive: variance-head bias shift "
                          "applied at each radius anneal")
+    ap.add_argument("--group-soft", type=float, default=0.0,
+                    help="radius-noise-adaptive: group-convergence "
+                         "shaping factor (EnvParams.group_soft_factor)")
+    ap.add_argument("--episode-len-small", type=int, default=0,
+                    help="radius-noise-adaptive: truncation horizon at "
+                         "small radii (0 = keep 200 everywhere)")
+    ap.add_argument("--episode-len-radius", type=float, default=150.0,
+                    help="radius threshold for --episode-len-small")
+    ap.add_argument("--mean-eval", action="store_true",
+                    help="radius-noise-adaptive: per-stage mean-action "
+                         "rollout, reporting group-reach events "
+                         "(mean_tar)")
     ap.add_argument("--out", type=str, default="docs/curriculum_r2")
     ns = ap.parse_args()
 

@@ -100,6 +100,53 @@ def test_short_horizon_parity_vs_xla():
                                rtol=1e-4, atol=1e-2)
 
 
+def test_group_soft_shaping_parity_vs_xla():
+    """The group-convergence shaping term (EnvParams.group_soft_factor,
+    TPU-native extension, default off) matches between the fused kernel
+    and the XLA env path, and shifts rewards by exactly the
+    max-over-agents soft score."""
+    ep = EnvParams(num_parallel=P, num_agents=A, group_soft_factor=700.0)
+    icfg = TriangleInitConfig(num_parallel=P, num_obstacles=O)
+    env = make_env(ep, icfg, None)
+    actor = actor_init(jax.random.PRNGKey(1), ep.obs_size, 50, 2)
+    s0 = env.init(jax.random.PRNGKey(0))
+    s_ref, r_ref = xla_mean_rollout(env, actor, s0, 10)
+
+    fused = make_fused_rollout(ep, icfg, NormalizerConfig(num_agents=A),
+                               ScalerConfig(), 10,
+                               deterministic_actions=True, interpret=True)
+    rows_f, r_fused = fused(env_state_to_rows(s0), actor, 7)
+    np.testing.assert_allclose(np.asarray(r_fused), np.asarray(r_ref),
+                               rtol=1e-4, atol=1e-2)
+    st, *_ = rows_to_env_arrays(rows_f)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(s_ref.states),
+                               rtol=1e-4, atol=1e-2)
+
+    # The term is really present: vs the unshaped env, step-1 rewards
+    # differ by group_soft_factor * max_i d_i / init_dist (step 1 sees
+    # identical states in both runs; later steps diverge through the
+    # value-independent dynamics only if actions did, which mean actions
+    # don't — but one step is enough to pin the formula).
+    ep0 = EnvParams(num_parallel=P, num_agents=A)
+    env0 = make_env(ep0, icfg, None)
+    _, r0 = xla_mean_rollout(env0, actor, s0, 1)
+    d = np.asarray(env.observations(s0).target_distance)  # pre-step obs
+    # Rewards are computed from the MOVED state; recompute via the env
+    # to avoid re-deriving dynamics here: shaped - unshaped == term.
+    diff = np.asarray(r_ref[0]) - np.asarray(r0[0])
+    s1 = jax.tree.map(lambda x: x, s0)  # moved-state distances via env
+    from marlnav_tpu.models import actor_apply as _apply
+    from marlnav_tpu.utils.transforms import (make_action_scaler,
+                                              make_obs_normalizer)
+    norm = make_obs_normalizer(NormalizerConfig(num_agents=A))
+    mean, _ = _apply(actor, norm(env.observations(s0)))
+    acts = make_action_scaler(ScalerConfig())(mean.reshape(P, A, 2))
+    s_moved, out = jax.jit(env0.step)(s1, acts)
+    dmax = np.asarray(out.obs.target_distance[:, :, 0]).max(axis=1)
+    np.testing.assert_allclose(diff, -700.0 * dmax / ep.init_dist,
+                               rtol=1e-4, atol=1e-3)
+
+
 def host_noise(key, num_steps, num_envs, n_draws=2 * A + 2 * O):
     """Host-side uniform noise feed for interpret-mode tests (in-kernel
     prng_random_bits is broken under the interpreter in this jax version —
