@@ -55,15 +55,18 @@ class EnvParams:
     soft_factor: float = 500.0
     bond_factor: float = 10.0
     # Group-convergence shaping (TPU-native extension, default OFF for
-    # reference parity): a soft-score on the MAX-over-agents target
-    # distance, -group_soft_factor * max_i d_i / init_dist, broadcast to
-    # every agent like the group bonus.  The reference's soft_factor
-    # rewards the MEAN distance, which the round-2/3 curriculum studies
-    # showed the degenerate "race" exploits (one agent dives at the
-    # target while the group never converges — docs/curriculum_r3.md
-    # "Honest status"); the max-based term is a continuous gradient
-    # toward SIMULTANEOUS convergence, the binary group bonus's missing
-    # precursor signal.
+    # reference parity): POTENTIAL-BASED on the MAX-over-agents target
+    # distance, phi = -max_i d_i / init_dist, per-step reward +=
+    # group_soft_factor * (phi(s') - phi(s)), broadcast to every agent
+    # like the group bonus.  The reference's soft_factor rewards the
+    # MEAN distance, which the round-2/3 curriculum studies showed the
+    # degenerate "race" exploits (one agent dives at the target while
+    # the group never converges — docs/curriculum_r3.md "Honest
+    # status"); the max-potential is a continuous gradient toward
+    # SIMULTANEOUS convergence, the binary group bonus's missing
+    # precursor signal.  Potential DIFFERENCE, not raw penalty: the raw
+    # form was measured to collapse training into the suicide basin
+    # (env/reward.py has the numbers).
     group_soft_factor: float = 0.0
     # Staggered resets (off for reference parity): initialize per-env step
     # counters uniformly over the episode so truncations (and the fresh

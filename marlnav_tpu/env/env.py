@@ -135,7 +135,15 @@ def make_env(params: EnvParams, init_cfg, sampler_cfg=None) -> Env:
         truncated = step_num > params.episode_len - 1
 
         obs = _observations(states, state.obstacles, state.target, params, others_idx)
-        rew = rewards_and_terminations(obs, state.terminates, params)
+        prev_max_dist = None
+        if params.group_soft_factor:
+            # Pre-move max-over-agents target distance, the potential
+            # input for the group-convergence shaping (env/reward.py).
+            delta = state.states[:, :, :2] - state.target  # target (P,1,2)
+            prev_max_dist = jnp.max(
+                jnp.sqrt(jnp.sum(delta * delta, axis=2)), axis=1)
+        rew = rewards_and_terminations(obs, state.terminates, params,
+                                       prev_max_dist)
 
         stats = EpisodeStats(
             num_trunc=state.stats.num_trunc + jnp.sum(truncated).astype(jnp.int32),

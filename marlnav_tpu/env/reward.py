@@ -60,12 +60,16 @@ def _bond_reward(distances: jax.Array, params: EnvParams) -> jax.Array:
 
 
 def rewards_and_terminations(
-    obs: Observations, latch: jax.Array, params: EnvParams
+    obs: Observations, latch: jax.Array, params: EnvParams,
+    prev_max_dist: jax.Array | None = None,
 ) -> RewardOutput:
     """Compute (P,) rewards and termination flags from observations.
 
     ``latch`` is the (P,) bool delayed target-reach latch carried in
-    ``EnvState.terminates``.
+    ``EnvState.terminates``.  ``prev_max_dist`` (P,) is the PRE-MOVE
+    max-over-agents target distance, required iff
+    ``params.group_soft_factor`` is set (the potential-based
+    group-convergence shaping below).
     """
     obstacle_risks = _in_area(obs.obstacles_distances, params.ob_risk_dist)
     agent_risks = _in_area(obs.others_distances, params.ag_risk_dist)
@@ -104,11 +108,21 @@ def rewards_and_terminations(
     )
     if params.group_soft_factor:
         # Group-convergence shaping (config.py EnvParams.group_soft_factor;
-        # no reference counterpart, default off): soft score on the
-        # max-over-agents target distance, broadcast like the group bonus.
-        group_soft = jnp.max(obs.target_distance[:, :, 0], axis=1,
-                             keepdims=True) / params.init_dist
-        reward = reward - params.group_soft_factor * group_soft
+        # no reference counterpart, default off): POTENTIAL-BASED on the
+        # max-over-agents target distance, phi = -max_i d_i / init_dist,
+        # reward += factor * (phi(s') - phi(s)).  The raw-penalty form
+        # (-factor * max_d) was tried first and MEASURED HARMFUL — a
+        # constant negative per-step term makes collisions the cheap
+        # escape (the r2 curriculum's suicide basin; run r4a stage 1:
+        # 0 reaches, episodes collapsing to ~5 steps).  The telescoping
+        # potential difference adds no per-step bias, so neither suicide
+        # nor hovering pays; it purely redistributes the sparse group
+        # bonus along converging paths (gamma=1 form; the (1-gamma)*phi
+        # bias of skipping the discount is ~0.4/step at factor 5e4).
+        new_max = jnp.max(obs.target_distance[:, :, 0], axis=1,
+                          keepdims=True)
+        reward = reward + (params.group_soft_factor / params.init_dist) * (
+            prev_max_dist[:, None] - new_max)
     return RewardOutput(
         rewards=jnp.mean(reward, axis=1),
         terminated=terminated,

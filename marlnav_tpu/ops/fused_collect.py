@@ -212,7 +212,7 @@ def make_fused_collect(
                               1.0, 0.0)
 
             reward, all_in_target, any_coll = sm.rewards(
-                npx, npy, nhx, nhy, obx, oby, tx, ty)
+                npx, npy, nhx, nhy, obx, oby, tx, ty, px, py)
             rew_out[pl.ds(t, 1), :, :] = reward.reshape(1, SUB, LANE)
 
             terminated = jnp.maximum(any_coll, latch)

@@ -245,7 +245,7 @@ def make_fused_rollout(
             trunc = step_num > float(sm.p.episode_len - 1)
 
             reward, all_in_target, any_coll = sm.rewards(
-                npx, npy, nhx, nhy, obx, oby, tx, ty)
+                npx, npy, nhx, nhy, obx, oby, tx, ty, px, py)
             # Rewards are written in the native (8,128) tile layout — the
             # host-side wrapper untiles them once per rollout.
             rew_out[pl.ds(t, 1), :, :] = reward.reshape(1, _SUB, _LANE)

@@ -201,20 +201,28 @@ class StepMath:
             npy.append(py[i] + nhy[i] * nsp[i])
         return npx, npy, nhx, nhy, nsp
 
-    def rewards(self, npx, npy, nhx, nhy, obx, oby, tx, ty):
+    def rewards(self, npx, npy, nhx, nhy, obx, oby, tx, ty,
+                px=None, py=None):
         """(reward, all_in_target, any_coll) tiles from the moved,
         pre-reinit state (env/reward.py).  Angle tests use dot thresholds
         (exactly equivalent, acos is monotone) with the env's zeroed-angle-
-        inside-cap_distance quirk special-cased."""
+        inside-cap_distance quirk special-cased.  ``px``/``py`` are the
+        PRE-move positions, consumed only when ``group_soft_factor`` is
+        set (the potential-based shaping's phi(s) input)."""
         p = self.p
         reward_sum = jnp.zeros(TILE, jnp.float32)
         all_in_target = jnp.ones(TILE, jnp.float32)
         any_coll = jnp.zeros(TILE, jnp.float32)
         max_t_dist = jnp.zeros(TILE, jnp.float32)
+        prev_max_t_dist = jnp.zeros(TILE, jnp.float32)
         for i in range(self.a):
             ddx, ddy = tx - npx[i], ty - npy[i]
             t_dist = jnp.sqrt(ddx * ddx + ddy * ddy)
             max_t_dist = jnp.maximum(max_t_dist, t_dist)
+            if p.group_soft_factor:
+                pdx, pdy = tx - px[i], ty - py[i]
+                prev_max_t_dist = jnp.maximum(
+                    prev_max_t_dist, jnp.sqrt(pdx * pdx + pdy * pdy))
             inv = 1.0 / jnp.maximum(t_dist, _NORMALIZE_EPS)
             t_dot = jnp.clip((nhx[i] * ddx + nhy[i] * ddy) * inv,
                              -1.0 + _ACOS_CLAMP, 1.0 - _ACOS_CLAMP)
@@ -273,11 +281,13 @@ class StepMath:
 
         # Group target bonus broadcasts to every agent, so its mean
         # contribution is just target_factor * all_in_target; likewise the
-        # group-convergence soft score (env/reward.py group_soft_factor
-        # branch — max-over-agents target distance, default off).
+        # potential-based group-convergence shaping (env/reward.py
+        # group_soft_factor branch — see the suicide-basin rationale
+        # there; default off).
         reward = reward_sum / float(self.a) + p.target_factor * all_in_target
         if p.group_soft_factor:
-            reward = reward - (p.group_soft_factor / p.init_dist) * max_t_dist
+            reward = reward + (p.group_soft_factor / p.init_dist) * (
+                prev_max_t_dist - max_t_dist)
         return reward, all_in_target, any_coll
 
     def reset_blend(self, st, m, km, npx, npy, nhx, nhy, nsp, obx, oby,

@@ -101,10 +101,10 @@ def test_short_horizon_parity_vs_xla():
 
 
 def test_group_soft_shaping_parity_vs_xla():
-    """The group-convergence shaping term (EnvParams.group_soft_factor,
-    TPU-native extension, default off) matches between the fused kernel
-    and the XLA env path, and shifts rewards by exactly the
-    max-over-agents soft score."""
+    """The potential-based group-convergence shaping
+    (EnvParams.group_soft_factor, TPU-native extension, default off)
+    matches between the fused kernel and the XLA env path, and shifts
+    rewards by exactly factor * (prev_max_d - new_max_d) / init_dist."""
     ep = EnvParams(num_parallel=P, num_agents=A, group_soft_factor=700.0)
     icfg = TriangleInitConfig(num_parallel=P, num_obstacles=O)
     env = make_env(ep, icfg, None)
@@ -122,29 +122,26 @@ def test_group_soft_shaping_parity_vs_xla():
     np.testing.assert_allclose(np.asarray(st), np.asarray(s_ref.states),
                                rtol=1e-4, atol=1e-2)
 
-    # The term is really present: vs the unshaped env, step-1 rewards
-    # differ by group_soft_factor * max_i d_i / init_dist (step 1 sees
-    # identical states in both runs; later steps diverge through the
-    # value-independent dynamics only if actions did, which mean actions
-    # don't — but one step is enough to pin the formula).
+    # The term is really present and has the potential form: vs the
+    # unshaped env, step-1 rewards differ by
+    # factor * (prev_max_d - new_max_d) / init_dist (step 1 sees
+    # identical states in both runs, so one step pins the formula).
     ep0 = EnvParams(num_parallel=P, num_agents=A)
     env0 = make_env(ep0, icfg, None)
     _, r0 = xla_mean_rollout(env0, actor, s0, 1)
-    d = np.asarray(env.observations(s0).target_distance)  # pre-step obs
-    # Rewards are computed from the MOVED state; recompute via the env
-    # to avoid re-deriving dynamics here: shaped - unshaped == term.
     diff = np.asarray(r_ref[0]) - np.asarray(r0[0])
-    s1 = jax.tree.map(lambda x: x, s0)  # moved-state distances via env
     from marlnav_tpu.models import actor_apply as _apply
     from marlnav_tpu.utils.transforms import (make_action_scaler,
                                               make_obs_normalizer)
     norm = make_obs_normalizer(NormalizerConfig(num_agents=A))
     mean, _ = _apply(actor, norm(env.observations(s0)))
     acts = make_action_scaler(ScalerConfig())(mean.reshape(P, A, 2))
-    s_moved, out = jax.jit(env0.step)(s1, acts)
-    dmax = np.asarray(out.obs.target_distance[:, :, 0]).max(axis=1)
-    np.testing.assert_allclose(diff, -700.0 * dmax / ep.init_dist,
-                               rtol=1e-4, atol=1e-3)
+    _, out = jax.jit(env0.step)(s0, acts)
+    new_max = np.asarray(out.obs.target_distance[:, :, 0]).max(axis=1)
+    delta0 = np.asarray(s0.states[:, :, :2]) - np.asarray(s0.target)  # (P,1,2)
+    prev_max = np.sqrt((delta0 ** 2).sum(-1)).max(axis=1)
+    np.testing.assert_allclose(diff, 700.0 * (prev_max - new_max)
+                               / ep.init_dist, rtol=1e-4, atol=1e-3)
 
 
 def host_noise(key, num_steps, num_envs, n_draws=2 * A + 2 * O):
