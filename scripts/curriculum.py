@@ -225,9 +225,15 @@ def run_noise_adaptive(ns):
         ep_len = (ns.episode_len_small
                   if ns.episode_len_small and radius <= ns.episode_len_radius
                   else 200)
+        # Group-convergence shaping gated by radius: run r4c showed a
+        # constant factor from stage 1 DELAYS ignition at radius 300
+        # (22 stages vs ~1 without) — the race basin ignites fine on its
+        # own; the mean-path convergence problem the shaping targets
+        # starts below ~150 (docs/curriculum_r3.md).
+        gsf = ns.group_soft if radius <= ns.group_soft_radius else 0.0
         ep = EnvParams(num_parallel=P_, risk_factor=ns.risk,
                        target_factor=tf, target_radius=radius,
-                       group_soft_factor=ns.group_soft,
+                       group_soft_factor=gsf,
                        episode_len=ep_len,
                        staggered_resets=True)
         mappo = make_mappo(cfg, make_env(ep, icfg, None),
@@ -349,6 +355,9 @@ def main():
     ap.add_argument("--group-soft", type=float, default=0.0,
                     help="radius-noise-adaptive: group-convergence "
                          "shaping factor (EnvParams.group_soft_factor)")
+    ap.add_argument("--group-soft-radius", type=float, default=1e9,
+                    help="apply --group-soft only at radius <= this "
+                         "(r4c: constant-from-stage-1 delays ignition)")
     ap.add_argument("--episode-len-small", type=int, default=0,
                     help="radius-noise-adaptive: truncation horizon at "
                          "small radii (0 = keep 200 everywhere)")
