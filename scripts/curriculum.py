@@ -210,6 +210,21 @@ def run_noise_adaptive(ns):
     radius, stage, history = 300.0, 0, []
     best = None  # (share, radius, ts, rows, ent) at the last good anneal
     stall = 0
+    if ns.resume_state:
+        # Cross-run continuation: restore the FULL train state + env rows
+        # + schedule position saved by a previous run's --save-state (the
+        # in-run restore mechanism showed retraining from a drifted
+        # policy re-enters the race basin; resuming mid-cascade avoids
+        # re-spending 20+ stages re-igniting).
+        import pickle
+        with open(ns.resume_state, "rb") as f:
+            snap = pickle.load(f)
+        ts = jax.tree.map(jnp.asarray, snap["ts"])
+        rows = jax.tree.map(jnp.asarray, snap["rows"])
+        radius, ent, gr = snap["radius"], snap["ent"], snap["gr"]
+        print(json.dumps({"resumed": {"from": ns.resume_state,
+                                      "radius": radius, "ent": ent}}),
+              flush=True)
     while radius >= 30.0 and stage < ns.max_stages:
         stage += 1
         cfg = MAPPOConfig(num_parallel=P_, buffer_len=T_, batch_size=T_,
@@ -294,9 +309,19 @@ def run_noise_adaptive(ns):
                 np.asarray(v)
             for path, v in
             jax.tree_util.tree_flatten_with_path(ts.actor)[0]})
-        threshold = 0.02 if radius > 200 else ns.fine_threshold
+        threshold = (ns.coarse_threshold if radius > 200
+                     else ns.fine_threshold)
         if share > threshold:
             best, stall = (share, radius, ts, rows, ent), 0
+            if ns.save_state:
+                import pickle
+                import numpy as _np
+                with open(ns.save_state, "wb") as f:
+                    pickle.dump({
+                        "ts": jax.tree.map(_np.asarray, ts),
+                        "rows": jax.tree.map(_np.asarray, rows),
+                        "radius": radius, "ent": ent, "gr": gr,
+                    }, f)
             # Gentler steps below 200: the r3 first run cleared 15% steps
             # down to 184 but overshot into the 156 stall.
             step = 0.85 if radius > 200 else 0.92
@@ -345,6 +370,10 @@ def main():
                     help="radius-noise-adaptive: scale the group bonus "
                          "~1/radius (measured harmful; kept for the "
                          "record)")
+    ap.add_argument("--coarse-threshold", type=float, default=0.02,
+                    help="radius-noise-adaptive: anneal threshold above "
+                         "radius 200 (seed-23 r4d sustained 0.5-2% with "
+                         "shaping but never cleared 2%)")
     ap.add_argument("--fine-threshold", type=float, default=0.006,
                     help="radius-noise-adaptive: anneal threshold below "
                          "radius 200 (restore-on-collapse is the safety "
@@ -367,6 +396,13 @@ def main():
                     help="radius-noise-adaptive: per-stage mean-action "
                          "rollout, reporting group-reach events "
                          "(mean_tar)")
+    ap.add_argument("--save-state", type=str, default="",
+                    help="radius-noise-adaptive: pickle the FULL train "
+                         "state (+ env rows + schedule position) at "
+                         "every good anneal, for --resume-state")
+    ap.add_argument("--resume-state", type=str, default="",
+                    help="radius-noise-adaptive: resume a cascade from a "
+                         "--save-state pickle")
     ap.add_argument("--out", type=str, default="docs/curriculum_r2")
     ns = ap.parse_args()
 
