@@ -107,6 +107,11 @@ def rewards_and_terminations(
         - params.risk_factor * risks
     )
     if params.group_soft_factor:
+        if prev_max_dist is None:
+            raise ValueError(
+                "group_soft_factor requires prev_max_dist: the potential-"
+                "based shaping needs the pre-move max target distance "
+                "(thread it from the previous step's observations)")
         # Group-convergence shaping (config.py EnvParams.group_soft_factor;
         # no reference counterpart, default off): POTENTIAL-BASED on the
         # max-over-agents target distance, phi = -max_i d_i / init_dist,

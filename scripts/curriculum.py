@@ -210,6 +210,7 @@ def run_noise_adaptive(ns):
     radius, stage, history = 300.0, 0, []
     best = None  # (share, radius, ts, rows, ent) at the last good anneal
     stall = 0
+    consec = 0  # consecutive gate-clearing stages AT the reference radius
     if ns.resume_state:
         # Cross-run continuation: restore the FULL train state + env rows
         # + schedule position saved by a previous run's --save-state (the
@@ -222,8 +223,18 @@ def run_noise_adaptive(ns):
         ts = jax.tree.map(jnp.asarray, snap["ts"])
         rows = jax.tree.map(jnp.asarray, snap["rows"])
         radius, ent, gr = snap["radius"], snap["ent"], snap["gr"]
+        # Round-5 pickles also carry the stage counter (so a resumed run
+        # with the same --out prefix doesn't overwrite the prior run's
+        # per-stage actor snapshots) and the gate-clearing share; seed
+        # `best` from the snapshot so restore-on-collapse has a restore
+        # point from the first post-resume stage (pre-r5 pickles lack
+        # both keys — stage numbering then restarts at 1 and the caller
+        # should pick a fresh --out prefix).
+        stage = snap.get("stage", 0)
+        best = (snap.get("share", 0.0), radius, ts, rows, ent)
         print(json.dumps({"resumed": {"from": ns.resume_state,
-                                      "radius": radius, "ent": ent}}),
+                                      "radius": radius, "ent": ent,
+                                      "stage": stage}}),
               flush=True)
     while radius >= 30.0 and stage < ns.max_stages:
         stage += 1
@@ -311,6 +322,8 @@ def run_noise_adaptive(ns):
             jax.tree_util.tree_flatten_with_path(ts.actor)[0]})
         threshold = (ns.coarse_threshold if radius > 200
                      else ns.fine_threshold)
+        if not (radius <= 30.0 and share > threshold):
+            consec = 0  # consolidation wants CONSECUTIVE radius-30 clears
         if share > threshold:
             best, stall = (share, radius, ts, rows, ent), 0
             if ns.save_state:
@@ -321,6 +334,7 @@ def run_noise_adaptive(ns):
                         "ts": jax.tree.map(_np.asarray, ts),
                         "rows": jax.tree.map(_np.asarray, rows),
                         "radius": radius, "ent": ent, "gr": gr,
+                        "stage": stage, "share": share,
                     }, f)
             # Gentler steps below 200: the r3 first run cleared 15% steps
             # down to 184 but overshot into the 156 stall.
@@ -328,9 +342,20 @@ def run_noise_adaptive(ns):
                 # A stage at the REFERENCE radius cleared the gate —
                 # the task the reference author reports unsolved
                 # (reference README.md:25-29, environment.py:60).
-                print(json.dumps({"solved_at_reference_radius": {
-                    "share": share, "tar": tar}}), flush=True)
-                break
+                # --consolidate N demands N CONSECUTIVE clearing stages
+                # (no anneal side effects while holding: the schedule is
+                # done; repeated ent-halving/var-shifts would just keep
+                # squeezing exploration at a fixed task).
+                consec += 1
+                print(json.dumps({"reference_radius_stage_cleared": {
+                    "share": share, "tar": tar, "consecutive": consec,
+                    "needed": max(1, ns.consolidate)}}), flush=True)
+                if consec >= max(1, ns.consolidate):
+                    print(json.dumps({"solved_at_reference_radius": {
+                        "share": share, "tar": tar,
+                        "consecutive": consec}}), flush=True)
+                    break
+                continue
             step = 0.85 if radius > 200 else 0.92
             # Clamp at the reference radius 30 (don't anneal past the
             # actual task).
@@ -349,7 +374,10 @@ def run_noise_adaptive(ns):
             stall += 1
             if stall >= 2 and best is not None:
                 _, b_radius, ts, rows, ent = best
-                radius = round(min(radius / 0.92, b_radius * 0.96))
+                # max(30, ...): a restore from a radius-30 best must not
+                # retry BELOW the reference radius (the task's floor).
+                radius = max(30.0, round(min(radius / 0.92,
+                                             b_radius * 0.96)))
                 stall = 0
                 rec["restored"] = {"from_radius": b_radius,
                                    "retry_radius": radius}
@@ -412,6 +440,11 @@ def main():
     ap.add_argument("--resume-state", type=str, default="",
                     help="radius-noise-adaptive: resume a cascade from a "
                          "--save-state pickle")
+    ap.add_argument("--consolidate", type=int, default=1,
+                    help="radius-noise-adaptive: number of CONSECUTIVE "
+                         "gate-clearing stages required AT the reference "
+                         "radius 30 before declaring solved (1 = legacy "
+                         "first-clear behavior)")
     ap.add_argument("--out", type=str, default="docs/curriculum_r2")
     ns = ap.parse_args()
 

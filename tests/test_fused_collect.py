@@ -615,16 +615,25 @@ def test_two_shard_mesh_generic_interpret():
                                rtol=1e-6)
 
 
-def test_two_shard_full_pipeline_one_program():
+@pytest.mark.parametrize("semantics", ["faithful", "fixed", "gae"])
+def test_two_shard_full_pipeline_one_program(semantics):
     """The FULL fused pipeline — meshed fused collect (return_tiled) ->
     shard_mapped tiled actor update -> shard_mapped tiled critic update —
     executed at 2 shards inside ONE jitted program (round-4 verdict item
     4: "composition bugs at the collect->update sharding boundary have
-    nowhere to show up").  Faithful semantics, so stage_adv_tiled's
-    _pair_rows_sharded all_gather runs at the boundary.  Reference: the
-    identical no-mesh full-batch pipeline on the same host noise (the
-    kernels consume no PRNG), which must agree to psum-reassociation
-    tolerance on losses and trained parameters."""
+    nowhere to show up").  Parameterized over all three training
+    semantics (round-4 verdict weak #5 — a wrong-pairing regression in
+    the non-faithful branches would otherwise drift silently):
+      faithful — the reference's global advantage tile mis-pairing, so
+        stage_adv_tiled's _pair_rows_sharded all_gather runs at the
+        collect->update boundary;
+      fixed    — corrected per-row pairing (pair_axis=None path,
+        fused_update_tiled.py);
+      gae      — normalized GAE advantages feeding stage_adv_tiled under
+        the mesh (the curriculum/production training configuration).
+    Reference: the identical no-mesh full-batch pipeline on the same
+    host noise (the kernels consume no PRNG), which must agree to
+    psum-reassociation tolerance on losses and trained parameters."""
     from marlnav_tpu.ops.fused_update_tiled import (
         make_tiled_actor_trainer,
         make_tiled_critic_trainer,
@@ -635,7 +644,9 @@ def test_two_shard_full_pipeline_one_program():
     n_shards, t = 2, 2
     big_p = 2 * BLOCK_ENVS
     cfg = MAPPOConfig(num_parallel=big_p, buffer_len=t, batch_size=t,
-                      num_epochs=2, num_total=t * big_p, faithful=True,
+                      num_epochs=2, num_total=t * big_p,
+                      faithful=(semantics == "faithful"),
+                      use_gae=(semantics == "gae"),
                       fused_updates=True)
     ep = EnvParams(num_parallel=big_p, num_agents=A)
     icfg = TriangleInitConfig(num_parallel=big_p, num_obstacles=O)
