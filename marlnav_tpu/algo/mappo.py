@@ -150,6 +150,68 @@ def gae_advantages(rewards, done, values, last_value, gamma, lam):
 
 
 # ----------------------------------------------------------------------
+# Associative-scan returns (round 5): the reverse recursions above are
+# affine in the carry (c_t = a_t * c_{t+1} + b_t), so they admit an
+# O(log T) associative suffix-combine instead of T sequential scan steps.
+# At the reference-sized config (T=1000, P=1024) the sequential scan is
+# pure latency (~5.2 ms, BASELINE.md round-2 composed decomposition) and
+# dominates the post-kernel tail of the fused collect.  Same algebra,
+# different fp ASSOCIATION — parity vs the sequential form is tested at
+# reassociation tolerance (tests/test_mappo.py); the XLA/golden-parity
+# paths keep the sequential scan, only the fused collect routes here
+# (ops/fused_collect.py, MARLNAV_ASSOC_RETURNS).
+# ----------------------------------------------------------------------
+
+def _affine_suffix_scan(a: jax.Array, b: jax.Array) -> jax.Array:
+    """c_t for c_t = a_t * c_{t+1} + b_t, c_T = 0, via associative_scan.
+
+    Element t represents f_t(c) = a_t c + b_t; the suffix combine must
+    produce F_t = f_t .. f_{T-1} with the EARLIER element outermost.
+    Under reverse=True the left operand of the combine fn is the LATER
+    composite (flip-scan-flip), so compose(u, v) applies u inside v:
+    (a_v a_u, a_v b_u + b_v) — the operand order is pinned by the
+    sequential-equality test, not convention."""
+
+    def compose(u, v):
+        au, bu = u
+        av, bv = v
+        return au * av, av * bu + bv
+
+    _, rets = jax.lax.associative_scan(compose, (a, b), reverse=True, axis=0)
+    return rets
+
+
+def discounted_returns_assoc(rewards: jax.Array, done: jax.Array,
+                             gamma: float):
+    """``discounted_returns`` in O(log T) depth (same (T, P) -> (T, P))."""
+    nd = 1.0 - done.astype(rewards.dtype)
+    return _affine_suffix_scan(gamma * nd, rewards * nd)
+
+
+def reference_returns_assoc(rewards: jax.Array, done: jax.Array,
+                            cfg: MAPPOConfig):
+    """``reference_returns`` with the associative returns pass (the f64
+    accumulator path keeps the sequential scan: it exists only for the
+    bit-level curve-parity harness)."""
+    if cfg.returns_f64:
+        return reference_returns(rewards, done, cfg)
+    rets = discounted_returns_assoc(rewards, done, cfg.gamma)
+    mean_rew = jnp.mean(rets)
+    normed = (rets - mean_rew) / (_sample_std(rets) + 1e-12)
+    return normed.astype(jnp.float32), mean_rew
+
+
+def gae_advantages_assoc(rewards, done, values, last_value, gamma, lam):
+    """``gae_advantages`` in O(log T) depth: delta_t is already
+    vectorized; only the A_t = delta_t + gamma*lam*nd_t * A_{t+1}
+    recursion needs the affine suffix scan."""
+    nd = 1.0 - done.astype(rewards.dtype)
+    values_next = jnp.concatenate([values[1:], last_value[None]], axis=0)
+    delta = rewards + gamma * values_next * nd - values
+    return _affine_suffix_scan(gamma * lam * nd, delta)
+
+
+# ----------------------------------------------------------------------
 # Losses (reference models.py:270-316) — module level for direct testing
 # ----------------------------------------------------------------------
 

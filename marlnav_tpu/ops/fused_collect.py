@@ -43,8 +43,11 @@ from marlnav_tpu.algo.mappo import (
     Buffer,
     RolloutMetrics,
     discounted_returns,
+    discounted_returns_assoc,
     gae_advantages,
+    gae_advantages_assoc,
     reference_returns,
+    reference_returns_assoc,
 )
 from marlnav_tpu.config import MAPPOConfig
 from marlnav_tpu.env.types import EpisodeStats
@@ -91,6 +94,7 @@ def make_fused_collect(
     axis: str = "data",
     return_tiled: bool = False,
     generic_interpret: bool = False,
+    assoc_returns: bool | None = None,
 ):
     """Build ``collect(ts, rows, seed[, noise]) -> (rows', Buffer,
     RolloutMetrics)`` — a drop-in for ``MAPPO.collect`` operating on the
@@ -130,6 +134,16 @@ def make_fused_collect(
     n_chunks = num_steps // t_chunk
     obs_size = sm.obs_size
     obs_rows = a * obs_size
+    if assoc_returns is None:
+        import os as _os
+        assoc_returns = _os.environ.get("MARLNAV_ASSOC_RETURNS", "1") != "0"
+    if assoc_returns:
+        _disc_returns, _gae_adv, _ref_returns = (
+            discounted_returns_assoc, gae_advantages_assoc,
+            reference_returns_assoc)
+    else:
+        _disc_returns, _gae_adv, _ref_returns = (
+            discounted_returns, gae_advantages, reference_returns)
 
     def kernel(seed_ref,
                px0, py0, dx0, dy0, sp0, obx0, oby0, tg0, misc0,
@@ -402,15 +416,21 @@ def make_fused_collect(
         values = untile(_critic_on_tiles(ts.critic, obs_t), num_envs)[..., None]
         done = untile(done_t, num_envs) > 0.5
 
-        # Returns processing — identical to algo/mappo.py collect.
+        # Returns processing — same estimators as algo/mappo.py collect.
+        # On the fused path the reverse recursions default to the
+        # associative O(log T) form (algo/mappo.py round-5 note): at the
+        # reference-sized T=1000 the sequential scan is ~5 ms of pure
+        # per-step latency in the post-kernel tail.  Reassociation-level
+        # fp difference only; MARLNAV_ASSOC_RETURNS=0 restores the
+        # sequential scans (and returns_f64 always uses them).
         if cfg.use_gae:
-            mean_rew = jnp.mean(discounted_returns(rewards, done, cfg.gamma))
+            mean_rew = jnp.mean(_disc_returns(rewards, done, cfg.gamma))
             last_value = critic_apply(ts.critic, final_obs(rows2))[:, 0]
-            adv = gae_advantages(rewards, done, values[..., 0], last_value,
-                                 cfg.gamma, cfg.gae_lambda)
+            adv = _gae_adv(rewards, done, values[..., 0], last_value,
+                           cfg.gamma, cfg.gae_lambda)
             rets = adv + values[..., 0]
         else:
-            rets, mean_rew = reference_returns(rewards, done, cfg)
+            rets, mean_rew = _ref_returns(rewards, done, cfg)
 
         stats = EpisodeStats(
             num_trunc=jnp.sum(stats_t[0]).astype(jnp.int32),
@@ -438,4 +458,7 @@ def make_fused_collect(
                             geometry.others_indices(a))
         return make_obs_normalizer(normalizer_cfg)(obs)
 
+    # Decomposition handle (scripts/bench_collect.py): the raw kernel
+    # dispatch without the untile/critic/returns tail.
+    collect.run_kernel = dispatch_kernel
     return collect

@@ -23,7 +23,11 @@ unvalidated stream.  This script runs ON THE TPU and checks:
   5. the production reset path: ``make_fused_rollout`` with
      ``episode_len=1`` (every step truncates -> resets) on the REAL PRNG —
      obstacle redraw bounds/spread and, with ``noisy_ags``, the Gaussian
-     position noise and bounded heading rotation.
+     position noise and bounded heading rotation;
+  6. (round 5) adjacent shard streams at the flagship grid's FULL
+     consumption volume (~98M draws/shard): all-32-bit per-bit
+     frequencies, cross-stream and lag-1 correlations, aligned
+     collisions — every statistic reduced on device.
 
 Prints one JSON verdict line per check plus a final summary line
 ``{"all_ok": true/false}``; exits nonzero on failure.  Run directly
@@ -206,6 +210,80 @@ def main() -> int:
                   np.allclose(st[:, :, 2], 1.0, atol=1e-6)
                   and np.allclose(st[:, :, 3], 0.0, atol=1e-6)
                   and np.allclose(st[:, :, 4], icfg.init_speed, atol=1e-6))
+
+    # ---- 6. adjacent shard streams at PRODUCTION consumption volume ------
+    # (round-5; round-4 verdict task 6)  The flagship grid consumes
+    # 16384 envs x 500 steps x 12 draws/env-step ~ 98M uniforms per shard,
+    # drawn from per-(block, chunk) streams seeded
+    # prng_seed(seed + shard * 2**20, block * n_chunks + chunk)
+    # (ops/fused_collect.py:154).  Section 4 tested the offset streams at
+    # 64-tile dumps; this section draws the FULL production volume from
+    # two adjacent shard streams and checks, with every statistic reduced
+    # ON DEVICE (a raw dump would be 2 x 394 MB through the ~85 MB/s
+    # tunnel):
+    #   - per-bit frequencies of all 32 bits at 6-sigma binomial bounds
+    #     (kills residual low-bit structure directly: bits_to_uniform
+    #     drops the low 8 bits, so only this check ever looks at them);
+    #   - cross-shard-stream correlation of the uniforms at n ~ 98M;
+    #   - lag-1 serial correlation within a shard stream;
+    #   - aligned bit-pattern collisions between the shard streams
+    #     (expected ~0.02 at 2^-32; a systematic fold alias would light
+    #     this up by orders of magnitude).
+    from jax.experimental import pallas as pl2
+    from jax.experimental.pallas import tpu as pltpu2
+
+    n_streams = 16 * 14          # 16 env blocks x 14 time chunks
+    n_tiles = 12 * 36            # 12 draws/env-step x ~36 steps/chunk
+    n_total = n_streams * n_tiles * 8 * 128
+
+    def dump_bits(seed):
+        def kernel(seed_ref, out):
+            pltpu2.prng_seed(seed_ref[0], pl2.program_id(0))
+            out[:] = pltpu2.prng_random_bits((1, n_tiles, 8, 128))
+
+        return pl2.pallas_call(
+            kernel,
+            grid=(n_streams,),
+            in_specs=[pl2.BlockSpec(memory_space=pltpu2.SMEM)],
+            out_specs=pl2.BlockSpec((1, n_tiles, 8, 128),
+                                    lambda i: (i, 0, 0, 0),
+                                    memory_space=pltpu2.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_streams, n_tiles, 8, 128),
+                                           jnp.int32),
+        )(jnp.asarray([seed], jnp.int32))
+
+    from marlnav_tpu.ops.step_math import bits_to_uniform
+
+    @jax.jit
+    def production_stats(seed0, seed1):
+        b0, b1 = dump_bits(seed0), dump_bits(seed1)
+
+        def bit_freq(b, i):
+            return jnp.mean(((b >> i) & 1).astype(jnp.float32))
+
+        freqs = jax.vmap(lambda i: bit_freq(b0, i))(jnp.arange(32))
+        u0 = bits_to_uniform(b0).reshape(-1)
+        u1 = bits_to_uniform(b1).reshape(-1)
+        m0, m1 = jnp.mean(u0), jnp.mean(u1)
+        v0, v1 = jnp.var(u0), jnp.var(u1)
+        cross = (jnp.mean(u0 * u1) - m0 * m1) / jnp.sqrt(v0 * v1)
+        lag1 = ((jnp.mean(u0[:-1] * u0[1:]) - m0 * m0) / v0)
+        collisions = jnp.sum((b0 == b1).astype(jnp.int32))
+        return freqs, cross, lag1, collisions
+
+    base = 123
+    freqs, cross, lag1, collisions = jax.device_get(
+        production_stats(base, base + (1 << 20)))
+    sigma = 0.5 / math.sqrt(n_total)
+    worst_bit = float(np.max(np.abs(freqs - 0.5)))
+    check("production_bit_freqs", worst_bit < 6 * sigma,
+          worst_abs_dev=worst_bit, six_sigma=6 * sigma, n=n_total)
+    check("production_cross_shard_corr", abs(float(cross)) < 5e-4,
+          corr=float(cross), n=n_total)
+    check("production_lag1_corr", abs(float(lag1)) < 5e-4,
+          corr=float(lag1))
+    check("production_aligned_collisions", int(collisions) <= 10,
+          collisions=int(collisions), expected=n_total / 2 ** 32)
 
     all_ok = all(r["ok"] for r in RESULTS)
     print(json.dumps({"all_ok": all_ok,

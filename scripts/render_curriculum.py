@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--envs", type=int, default=256)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--episode-len", type=int, default=200,
+                    help="match the training truncation horizon (the r4/r5 "
+                         "small-radius recipe trains at 400)")
     ap.add_argument("--weights", type=str,
                     default="docs/curriculum_r2_actor.npz")
     ap.add_argument("--out", type=str, default="docs/curriculum_policy.gif")
@@ -51,7 +54,8 @@ def main():
 
     p = ns.envs
     env = make_env(EnvParams(num_parallel=p, risk_factor=250.0,
-                             target_radius=ns.radius),
+                             target_radius=ns.radius,
+                             episode_len=ns.episode_len),
                    TriangleInitConfig(num_parallel=p, num_obstacles=3),
                    None)
     actor = load_actor_weights(ns.weights, env.params.obs_size)

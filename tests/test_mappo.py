@@ -381,3 +381,58 @@ def test_train_driver_jit_repeats_checkpoints_and_validation(tmp_path,
 
     with _pytest.raises(ValueError):
         train(cfg, verbose=False, jit_repeats=0)
+
+
+def test_associative_returns_match_sequential():
+    """The O(log T) associative returns/GAE forms (round 5, the fused
+    collect's default post-kernel tail) equal the sequential reverse
+    scans at reassociation tolerance — operand order in the affine
+    suffix combine is pinned HERE (it is not a convention: the wrong
+    order errs O(1), see _affine_suffix_scan)."""
+    import jax
+
+    from marlnav_tpu.algo.mappo import (
+        discounted_returns,
+        discounted_returns_assoc,
+        gae_advantages,
+        gae_advantages_assoc,
+        reference_returns,
+        reference_returns_assoc,
+    )
+    from marlnav_tpu.config import MAPPOConfig
+
+    t, p, gamma, lam = 1000, 64, 0.99, 0.95
+    rew = 1e3 * jax.random.normal(jax.random.PRNGKey(0), (t, p))
+    done = jax.random.bernoulli(jax.random.PRNGKey(1), 0.02, (t, p))
+    vals = jax.random.normal(jax.random.PRNGKey(2), (t, p))
+    last = jax.random.normal(jax.random.PRNGKey(3), (p,))
+
+    r_seq = discounted_returns(rew, done, gamma)
+    r_asc = discounted_returns_assoc(rew, done, gamma)
+    scale = float(jnp.max(jnp.abs(r_seq)))
+    np.testing.assert_allclose(np.asarray(r_asc), np.asarray(r_seq),
+                               atol=2e-5 * scale, rtol=0)
+
+    cfg = MAPPOConfig(num_parallel=p, buffer_len=t, batch_size=t,
+                      num_epochs=1, num_total=t * p)
+    n_seq, m_seq = reference_returns(rew, done, cfg)
+    n_asc, m_asc = reference_returns_assoc(rew, done, cfg)
+    np.testing.assert_allclose(float(m_asc), float(m_seq), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(n_asc), np.asarray(n_seq),
+                               atol=1e-4, rtol=0)  # z-normed, O(1) scale
+
+    g_seq = gae_advantages(rew, done, vals, last, gamma, lam)
+    g_asc = gae_advantages_assoc(rew, done, vals, last, gamma, lam)
+    scale_g = float(jnp.max(jnp.abs(g_seq)))
+    np.testing.assert_allclose(np.asarray(g_asc), np.asarray(g_seq),
+                               atol=2e-5 * scale_g, rtol=0)
+
+    # degenerate shapes: T=1 and all-done
+    r1 = discounted_returns_assoc(rew[:1], done[:1], gamma)
+    np.testing.assert_allclose(np.asarray(r1),
+                               np.asarray(discounted_returns(rew[:1],
+                                                             done[:1],
+                                                             gamma)))
+    alldone = jnp.ones_like(done, bool)
+    np.testing.assert_array_equal(
+        np.asarray(discounted_returns_assoc(rew, alldone, gamma)), 0.0)
