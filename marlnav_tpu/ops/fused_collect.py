@@ -95,6 +95,7 @@ def make_fused_collect(
     return_tiled: bool = False,
     generic_interpret: bool = False,
     assoc_returns: bool | None = None,
+    tw_cap: int | None = None,
 ):
     """Build ``collect(ts, rows, seed[, noise]) -> (rows', Buffer,
     RolloutMetrics)`` — a drop-in for ``MAPPO.collect`` operating on the
@@ -130,7 +131,14 @@ def make_fused_collect(
     sm = StepMath(env_params, init_cfg, normalizer_cfg, scaler_cfg)
     a, o, n_rows, n_draws = sm.a, sm.o, sm.n_rows, sm.n_draws
     num_steps = cfg.buffer_len
-    t_chunk = _time_chunk(num_steps)
+    if tw_cap is None:
+        import os as _os
+        # Round-5 sweep (BASELINE.md round-5): the collect kernel's time
+        # window was hardcoded 16 through round 4; per-chunk costs
+        # (reseed, output-window switch) amortize with the window like
+        # the tiled update kernels' (whose measured-best cap is 37).
+        tw_cap = int(_os.environ.get("MARLNAV_COLLECT_TW_CAP", "16"))
+    t_chunk = _time_chunk(num_steps, tw_cap)
     n_chunks = num_steps // t_chunk
     obs_size = sm.obs_size
     obs_rows = a * obs_size

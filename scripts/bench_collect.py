@@ -108,6 +108,9 @@ def main():
     ap.add_argument("--variants", default="kernel,full,full-seq")
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--gae", action="store_true")
+    ap.add_argument("--tw-cap", type=int, default=None,
+                    help="collect kernel time-window cap "
+                         "(MARLNAV_COLLECT_TW_CAP; hardcoded 16 pre-r5)")
     ns = ap.parse_args()
 
     out = []
@@ -117,7 +120,7 @@ def main():
         for variant in ns.variants.split(","):
             fc = make_fused_collect(
                 cfg, ep, icfg, NormalizerConfig(), ScalerConfig(),
-                assoc_returns=(variant != "full-seq"))
+                assoc_returns=(variant != "full-seq"), tw_cap=ns.tw_cap)
 
             if variant == "kernel":
                 def step_fn(ts, rows, seed, _fc=fc):
@@ -133,7 +136,8 @@ def main():
             sec = bench(step_fn, ts, rows, ns.repeats)
             rate = p * t / sec
             rec = {"config": name, "P": p, "T": t, "variant": variant,
-                   "gae": ns.gae, "ms": round(sec * 1e3, 2),
+                   "gae": ns.gae, "tw_cap": ns.tw_cap,
+                   "ms": round(sec * 1e3, 2),
                    "steps_per_s_M": round(rate / 1e6, 1)}
             out.append(rec)
             print(json.dumps(rec), flush=True)

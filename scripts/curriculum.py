@@ -210,6 +210,7 @@ def run_noise_adaptive(ns):
     radius, stage, history = 300.0, 0, []
     best = None  # (share, radius, ts, rows, ent) at the last good anneal
     stall = 0
+    restores = 0
     consec = 0  # consecutive gate-clearing stages AT the reference radius
     if ns.resume_state:
         # Cross-run continuation: restore the FULL train state + env rows
@@ -379,8 +380,23 @@ def run_noise_adaptive(ns):
                 radius = max(30.0, round(min(radius / 0.92,
                                              b_radius * 0.96)))
                 stall = 0
+                restores += 1
+                # Restore-loop breaker (round 5, opt-in): run r5s5 ground
+                # 13 restore cycles at the same retry radius without ever
+                # recovering above 0.1% — by then the variance head had
+                # annealed to bias ~ -7.3 (std ~ 1e-3), too cold for the
+                # restored policy to re-find the reach trajectories.  With
+                # --restore-reheat V, every restore also warms the
+                # restored variance head by +V (bounded: the restore
+                # snapshot itself is unchanged, so reheats do not
+                # compound across restores).
+                if ns.restore_reheat:
+                    ts = ts._replace(actor=ts.actor._replace(
+                        fc_var=ts.actor.fc_var._replace(
+                            b=ts.actor.fc_var.b + ns.restore_reheat)))
                 rec["restored"] = {"from_radius": b_radius,
-                                   "retry_radius": radius}
+                                   "retry_radius": radius,
+                                   "reheat": ns.restore_reheat}
                 print(json.dumps({"restore": rec["restored"]}), flush=True)
         else:
             stall = 0
@@ -440,6 +456,11 @@ def main():
     ap.add_argument("--resume-state", type=str, default="",
                     help="radius-noise-adaptive: resume a cascade from a "
                          "--save-state pickle")
+    ap.add_argument("--restore-reheat", type=float, default=0.0,
+                    help="radius-noise-adaptive: variance-head bias bump "
+                         "applied on every restore-on-collapse (breaks "
+                         "cold-exploration restore loops; r5s5 ground 13 "
+                         "restores at std ~1e-3 without it)")
     ap.add_argument("--consolidate", type=int, default=1,
                     help="radius-noise-adaptive: number of CONSECUTIVE "
                          "gate-clearing stages required AT the reference "
