@@ -144,7 +144,18 @@ def make_fused_collect(
     obs_rows = a * obs_size
     if assoc_returns is None:
         import os as _os
-        assoc_returns = _os.environ.get("MARLNAV_ASSOC_RETURNS", "1") != "0"
+        env_v = _os.environ.get("MARLNAV_ASSOC_RETURNS", "")
+        if env_v:
+            assoc_returns = env_v != "0"
+        else:
+            # Measured routing (BASELINE.md round-5, bench_collect): the
+            # associative pass wins where the sequential scan is
+            # LATENCY-bound (small P: default config 9.93 -> 9.70 ms)
+            # and loses where its log2(T) extra (T, P) passes are HBM
+            # traffic (16k GAE: 43.7 -> 45.2 ms) — same shape of
+            # tradeoff as the tiled-critic P>=8192 routing, opposite
+            # sign.
+            assoc_returns = cfg.num_parallel < 8192
     if assoc_returns:
         _disc_returns, _gae_adv, _ref_returns = (
             discounted_returns_assoc, gae_advantages_assoc,

@@ -40,6 +40,45 @@ def acos(x):
     return jnp.where(x < 0.0, math.pi - r, r)
 
 
+# Bounded-range sin/cos (round 5).  The roofline microbench
+# (scripts/roofline.py, docs/roofline_r5.json) measured jnp.cos/sin on
+# this chip at ~67 ps/element — ~130x an fma — because the generic
+# lowering pays full argument-range reduction.  Every angle in these
+# kernels is RANGE-BOUNDED (steering angles are clipped to [-pi, pi],
+# Box-Muller theta is 2*pi*u with u in [0,1), reset headings are
+# angle_range*(u-0.5)), so degree-13 odd / degree-12 even least-squares
+# polynomials on [-pi, pi] suffice: |err| <= 6.1e-7 in f32 Horner
+# evaluation (the f32 rounding floor; double-precision fit error is
+# 1.3e-9/1.1e-8).  8/7 tile-FMAs instead of ~130-op lowerings removed
+# ~0.7 ns/env-step from the kernels' measured ~1.5 ns marginal cost.
+_SIN_C = (0.99999999442030307, -0.16666664568359335,
+          0.0083333102899997395, -0.00019840151841299232,
+          2.752939488670167e-06, -2.4676487851666484e-08,
+          1.3449973826791738e-10)
+_COS_C = (0.99999998904852216, -0.49999989101180597,
+          0.041666489213904624, -0.0013887803571303186,
+          2.4769882914249208e-05, -2.7079024321864158e-07,
+          1.7245068538391953e-09)
+
+
+def sin_pi(x):
+    """sin(x) for |x| <= pi (+ a few f32 ulp of slack at the ends)."""
+    x2 = x * x
+    acc = jnp.float32(_SIN_C[-1])
+    for c in _SIN_C[-2::-1]:
+        acc = acc * x2 + jnp.float32(c)
+    return acc * x
+
+
+def cos_pi(x):
+    """cos(x) for |x| <= pi (+ a few f32 ulp of slack at the ends)."""
+    x2 = x * x
+    acc = jnp.float32(_COS_C[-1])
+    for c in _COS_C[-2::-1]:
+        acc = acc * x2 + jnp.float32(c)
+    return acc
+
+
 def bits_to_uniform(bits):
     """Uniform [0, 1) from raw 32-bit PRNG output (int32).
 
@@ -51,10 +90,15 @@ def bits_to_uniform(bits):
 
 
 def box_muller(u1, u2):
-    """(z0, z1) standard-normal pair from two uniforms."""
+    """(z0, z1) standard-normal pair from two uniforms.
+
+    theta = 2*pi*u2 is mapped to t = theta - pi in [-pi, pi) so the
+    bounded polynomials apply: cos(theta) = -cos_pi(t),
+    sin(theta) = -sin_pi(t) — the negation folds into r."""
     r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
-    th = _TWO_PI * u2
-    return r * jnp.cos(th), r * jnp.sin(th)
+    t = _TWO_PI * u2 - math.pi
+    rn = -r
+    return rn * cos_pi(t), rn * sin_pi(t)
 
 
 def uniform01(shape):
@@ -193,7 +237,7 @@ class StepMath:
                            -math.pi, math.pi)
             acc = jnp.clip(self.acc_mean + self.acc_scale * acc_raw[i],
                            p.min_accel, p.max_accel)
-            c, s = jnp.cos(ang), jnp.sin(ang)
+            c, s = cos_pi(ang), sin_pi(ang)  # post-clip: |ang| <= pi
             nhx.append(c * hx[i] - s * hy[i])
             nhy.append(s * hx[i] + c * hy[i])
             nsp.append(jnp.clip(sp[i] + acc, p.min_speed, p.max_speed))
@@ -311,7 +355,10 @@ class StepMath:
                 ang = self.angle_range * (u[k + 3 * i + 2] - 0.5)
                 bx = self.base_x[i] + self.pos_std * z0
                 by = self.base_y[i] + self.pos_std * z1
-                hx0, hy0 = jnp.cos(ang), jnp.sin(ang)
+                if self.angle_range <= _TWO_PI:
+                    hx0, hy0 = cos_pi(ang), sin_pi(ang)  # |ang| <= pi
+                else:  # diagnostic configs with wider ranges
+                    hx0, hy0 = jnp.cos(ang), jnp.sin(ang)
                 st[self.DY + i] = m * hy0 + km * nhy[i]
             else:
                 bx, by, hx0 = self.base_x[i], self.base_y[i], 1.0

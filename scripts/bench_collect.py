@@ -12,7 +12,12 @@ This bench separates the two candidate costs:
             critic + returns pass);
   full-seq  the same with MARLNAV_ASSOC_RETURNS=0 (sequential reverse
             scan returns — the pre-round-5 tail, whose T=1000 form the
-            round-2 decomposition measured at ~5.2 ms of pure latency).
+            round-2 decomposition measured at ~5.2 ms of pure latency);
+  tiled     the PRODUCTION consumer shape: return_tiled=True with only
+            the tile outputs + returns/values/done consumed (what the
+            tiled update trainers read) — the obs/actions/log_probs
+            canonical untiles go dead and XLA drops them, exactly as in
+            the composed fused pipeline (bench_composed.py tiled/tiled2).
 
 full - kernel = the post-kernel tail; full-seq - full = what the
 associative O(log T) returns pass (algo/mappo.py round-5) buys.
@@ -120,12 +125,20 @@ def main():
         for variant in ns.variants.split(","):
             fc = make_fused_collect(
                 cfg, ep, icfg, NormalizerConfig(), ScalerConfig(),
-                assoc_returns=(variant != "full-seq"), tw_cap=ns.tw_cap)
+                assoc_returns=(variant != "full-seq"), tw_cap=ns.tw_cap,
+                return_tiled=(variant == "tiled"))
 
             if variant == "kernel":
                 def step_fn(ts, rows, seed, _fc=fc):
                     rows2, *outs = _fc.run_kernel(rows, ts.actor, seed, None)
                     return rows2, sum(tiny(o) for o in outs)
+            elif variant == "tiled":
+                def step_fn(ts, rows, seed, _fc=fc):
+                    rows2, buf, met, tiled = _fc(ts, rows, seed)
+                    s = (met.mean_rew + tiny(buf.returns) + tiny(buf.values)
+                         + tiny(buf.done.astype(jnp.float32))
+                         + sum(tiny(x) for x in tiled))
+                    return rows2, s
             else:
                 def step_fn(ts, rows, seed, _fc=fc):
                     rows2, buf, met = _fc(ts, rows, seed)

@@ -68,7 +68,7 @@ OPS = {
     "softplus": lambda x: jax.nn.softplus(x) - 0.5,  # converges ~0.43
 }
 
-SHAPE = (512, 1024)  # 512k f32 elements = 2 MB; many (8,128) VPU tiles
+SHAPE = (1024, 2048)  # 2M f32 elements = 8 MB; many (8,128) VPU tiles
 
 
 def _time_chain(op, unroll, iters, reps=3):
@@ -97,8 +97,13 @@ def _time_chain(op, unroll, iters, reps=3):
 
 
 def measure_op_rates(iters):
-    """ns per element-op, by differencing two chain lengths."""
-    u_lo, u_hi = 8, 40
+    """ns per element-op, by differencing two chain lengths.
+
+    First cut used (512,1024) x 100 iters x (8..40) unrolls: the
+    chain-length deltas were sub-ms against ~1 ms of tunnel/loop noise,
+    and the fast ops (fma/tanh) measured garbage (negative deltas).  The
+    64-op spread over 2M elements puts every delta in the tens of ms."""
+    u_lo, u_hi = 8, 72
     rates = {}
     n_elem = SHAPE[0] * SHAPE[1]
     for name, op in OPS.items():
@@ -300,7 +305,7 @@ def critic_matmul_note(device_s=25.4e-3, bf16_peak_tf=197.0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure", action="store_true")
-    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--measured-collect", type=float, default=697.5e6,
                     help="isolated fused collect steps/s (BASELINE r4)")
     ap.add_argument("--measured-rollout", type=float, default=784e6,

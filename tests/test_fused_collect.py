@@ -124,11 +124,19 @@ def test_buffer_parity_vs_xla_mirror(t):
     t=8 runs as one time chunk; t=20 splits into two 10-step chunks,
     exercising cross-chunk scratch persistence and the chunk-indexed
     output/noise windows that the production buffer_len=1000 (100 chunks)
-    depends on (round-1 advisor finding)."""
+    depends on (round-1 advisor finding).
+
+    The policy is tamed at EVERY t since round 5: the kernel's dynamics
+    run the bounded-trig polynomials (step_math.sin_pi/cos_pi) while
+    the mirror steps the jnp-trig XLA env, so an untamed random actor's
+    +-pi steering amplifies the <=6e-7 trig deltas chaotically within 8
+    steps (observed: 10% of obs elements off by O(1) sign flips).
+    Tamed, the deltas stay at fp-tolerance level and every field is
+    still compared.  Large-steering PER-STEP parity is pinned by the
+    1-step strict check in test_ops.py::test_short_horizon_parity_vs_xla."""
     cfg, ep, icfg, env, mappo, collect = build(t)
     ts, s0 = mappo.init(jax.random.PRNGKey(0))
-    if t > 8:
-        ts = tame_policy(ts)
+    ts = tame_policy(ts)
     noise = host_noise(jax.random.PRNGKey(5), t)
 
     rows2, buf, metrics = collect(ts, env_state_to_rows(s0), 7, noise=noise)
@@ -382,7 +390,9 @@ def test_multi_block_split_equals_full_batch():
 
 def test_gae_returns_parity():
     """use_gae: fused returns must equal GAE(adv) + values computed from
-    the XLA mirror's record (incl. the final-state bootstrap value)."""
+    the XLA mirror's record (incl. the final-state bootstrap value).
+    Tamed policy since round 5 — same chaos rationale as
+    test_buffer_parity_vs_xla_mirror's docstring."""
     from marlnav_tpu.algo.mappo import gae_advantages
 
     t = 8
@@ -396,6 +406,7 @@ def test_gae_returns_parity():
                                  ScalerConfig(), interpret=True,
                                  noise_input=True)
     ts, s0 = mappo.init(jax.random.PRNGKey(0))
+    ts = tame_policy(ts)
     noise = host_noise(jax.random.PRNGKey(5), t)
     _, buf, _ = collect(ts, env_state_to_rows(s0), 7, noise=noise)
 

@@ -82,26 +82,46 @@ def test_row_state_roundtrip():
 
 
 def test_short_horizon_parity_vs_xla():
-    """10 policy-mean steps match the XLA path tightly (before chaotic
-    divergence can flip any discrete reward flag)."""
+    """Policy-mean steps match the XLA path: ONE step tightly (the
+    per-step math contract), 10 steps at a tolerance that admits the
+    kernel's bounded-trig polynomials (step_math.sin_pi/cos_pi, round
+    5): their <=6e-7 deviation from the XLA env's jnp trig compounds
+    through the full policy-feedback loop — a random actor steers up to
+    +-pi per step, so per-step heading deltas of ~1e-6 rad amplify over
+    10 steps to ~1e-4-relative position drift on a handful of envs
+    (worst observed 2.1e-4 rel on 1/15360 elements).  Real physics or
+    layout bugs are O(1); the widened band loses no detection power."""
     ep, icfg, env = build()
     actor = actor_init(jax.random.PRNGKey(1), ep.obs_size, 50, 2)
     s0 = env.init(jax.random.PRNGKey(0))
-    s_ref, r_ref = xla_mean_rollout(env, actor, s0, 10)
 
+    s_ref1, r_ref1 = xla_mean_rollout(env, actor, s0, 1)
+    fused1 = make_fused_rollout(ep, icfg, NormalizerConfig(num_agents=A),
+                                ScalerConfig(), 1,
+                                deterministic_actions=True, interpret=True)
+    rows1, r_f1 = fused1(env_state_to_rows(s0), actor, 7)
+    np.testing.assert_allclose(np.asarray(r_f1), np.asarray(r_ref1),
+                               rtol=1e-5, atol=1e-3)
+    st1, *_ = rows_to_env_arrays(rows1)
+    np.testing.assert_allclose(np.asarray(st1), np.asarray(s_ref1.states),
+                               rtol=1e-5, atol=1e-4)
+
+    s_ref, r_ref = xla_mean_rollout(env, actor, s0, 10)
     fused = make_fused_rollout(ep, icfg, NormalizerConfig(num_agents=A),
                                ScalerConfig(), 10,
                                deterministic_actions=True, interpret=True)
     rows_f, r_fused = fused(env_state_to_rows(s0), actor, 7)
     np.testing.assert_allclose(np.asarray(r_fused), np.asarray(r_ref),
-                               rtol=1e-4, atol=1e-2)
+                               rtol=1e-3, atol=5e-2)
     st, *_ = rows_to_env_arrays(rows_f)
     np.testing.assert_allclose(np.asarray(st), np.asarray(s_ref.states),
-                               rtol=1e-4, atol=1e-2)
+                               rtol=1e-3, atol=5e-2)
 
 
 def test_group_soft_shaping_parity_vs_xla():
     """The potential-based group-convergence shaping
+    (10-step tolerance matches test_short_horizon_parity_vs_xla: the
+    bounded-trig polynomials compound through the feedback loop)
     (EnvParams.group_soft_factor, TPU-native extension, default off)
     matches between the fused kernel and the XLA env path, and shifts
     rewards by exactly factor * (prev_max_d - new_max_d) / init_dist."""
@@ -117,10 +137,10 @@ def test_group_soft_shaping_parity_vs_xla():
                                deterministic_actions=True, interpret=True)
     rows_f, r_fused = fused(env_state_to_rows(s0), actor, 7)
     np.testing.assert_allclose(np.asarray(r_fused), np.asarray(r_ref),
-                               rtol=1e-4, atol=1e-2)
+                               rtol=1e-3, atol=5e-2)
     st, *_ = rows_to_env_arrays(rows_f)
     np.testing.assert_allclose(np.asarray(st), np.asarray(s_ref.states),
-                               rtol=1e-4, atol=1e-2)
+                               rtol=1e-3, atol=5e-2)
 
     # The term is really present and has the potential form: vs the
     # unshaped env, step-1 rewards differ by
@@ -361,3 +381,31 @@ def test_sharded_fused_rollout_matches_unsharded():
     with pytest.raises(ValueError):
         sharded(jax.tree.map(lambda x: x[..., :1024], rows0), actor, 7,
                 noise=noise)
+
+
+def test_bounded_trig_polynomials():
+    """sin_pi/cos_pi (round 5): |err| <= 7e-7 across [-pi, pi] in f32 —
+    the kernels' replacement for the ~130x-costlier generic cos/sin
+    lowering (scripts/roofline.py measurement).  Also pins the
+    box_muller range-shift identity (theta-pi negation fold)."""
+    import numpy as np
+
+    from marlnav_tpu.ops.step_math import box_muller, cos_pi, sin_pi
+
+    x = jnp.asarray(np.linspace(-np.pi, np.pi, 200_001), jnp.float32)
+    np.testing.assert_allclose(np.asarray(sin_pi(x)),
+                               np.sin(np.asarray(x, np.float64)),
+                               atol=7e-7, rtol=0)
+    np.testing.assert_allclose(np.asarray(cos_pi(x)),
+                               np.cos(np.asarray(x, np.float64)),
+                               atol=7e-7, rtol=0)
+
+    u1 = jnp.asarray(np.linspace(1e-6, 1 - 1e-6, 4001), jnp.float32)
+    u2 = jnp.asarray(np.linspace(0.0, 1 - 1e-6, 4001), jnp.float32)
+    z0, z1 = box_muller(u1, u2)
+    r = np.sqrt(-2.0 * np.log(np.maximum(np.asarray(u1, np.float64), 1e-12)))
+    th = 2.0 * np.pi * np.asarray(u2, np.float64)
+    np.testing.assert_allclose(np.asarray(z0), r * np.cos(th),
+                               atol=4e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(z1), r * np.sin(th),
+                               atol=4e-5, rtol=1e-5)
