@@ -232,10 +232,21 @@ def run_noise_adaptive(ns):
         # both keys — stage numbering then restarts at 1 and the caller
         # should pick a fresh --out prefix).
         stage = snap.get("stage", 0)
+        # One-time variance-head shift at resume (round-5 mechanism
+        # tests: the seed-5 wall's signature is mean paths reaching
+        # while the SAMPLED share stays ~0 — noise-intolerance — so the
+        # falsifiable prediction is that resuming COLDER, not hotter,
+        # raises the stochastic share; --restore-reheat tested the
+        # hotter direction and measured negative).
+        if ns.resume_var_shift:
+            ts = ts._replace(actor=ts.actor._replace(
+                fc_var=ts.actor.fc_var._replace(
+                    b=ts.actor.fc_var.b + ns.resume_var_shift)))
         best = (snap.get("share", 0.0), radius, ts, rows, ent)
         print(json.dumps({"resumed": {"from": ns.resume_state,
                                       "radius": radius, "ent": ent,
-                                      "stage": stage}}),
+                                      "stage": stage,
+                                      "var_shift": ns.resume_var_shift}}),
               flush=True)
     while radius >= 30.0 and stage < ns.max_stages:
         stage += 1
@@ -456,6 +467,11 @@ def main():
     ap.add_argument("--resume-state", type=str, default="",
                     help="radius-noise-adaptive: resume a cascade from a "
                          "--save-state pickle")
+    ap.add_argument("--resume-var-shift", type=float, default=0.0,
+                    help="radius-noise-adaptive: one-time variance-head "
+                         "bias shift applied at --resume-state (negative "
+                         "= colder sampling; the noise-intolerance "
+                         "mechanism test)")
     ap.add_argument("--restore-reheat", type=float, default=0.0,
                     help="radius-noise-adaptive: variance-head bias bump "
                          "applied on every restore-on-collapse (breaks "

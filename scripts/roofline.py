@@ -330,6 +330,19 @@ def main():
     result["op_rates"] = rates
     result["prng"] = prng
 
+    # Interpretation caveat, established EXPERIMENTALLY in round 5
+    # (BASELINE.md round-5 "Measured outcome"): these chain rates are
+    # per-op THROUGHPUT under a fully dependent chain.  Inside the real
+    # kernels, expensive ops (cos/sin before the sin_pi/cos_pi swap; the
+    # PRNG) overlap with independent tile work, so census x chain-rate
+    # is a NAIVE bound: swapping the kernels' cos/sin for ~4 ps
+    # polynomials — predicted ~2x by this arithmetic — delivered 3-5%.
+    # The binding constraint is dependency stalls, measured as the
+    # kernels' ~1.5-1.6 ns/env-step marginal cost (bench_collect's
+    # fixed+marginal fit) vs ~0.9 ns of census work at measured rates.
+    result["caveat"] = (
+        "census x chain-rate is a naive bound; kernels are "
+        "dependency-stall-bound at ~60% of it (see BASELINE.md round-5)")
     for label, cens, meas in (
         ("collect", census(collect=True), ns.measured_collect),
         ("rollout", census(collect=False), ns.measured_rollout),
@@ -338,14 +351,13 @@ def main():
         bound = 1.0 / t
         result[label] = {
             "census": cens, "detail_ns": detail,
-            "ns_per_env_step": t * 1e9,
-            "bound_steps_per_s": bound,
+            "naive_chain_rate_ns_per_env_step": t * 1e9,
+            "naive_bound_steps_per_s": bound,
             "measured_steps_per_s": meas,
-            "pct_of_bound": 100.0 * meas / bound,
         }
-        print(f"\n{label}: compute bound {bound/1e6:.0f}M env-steps/s "
-              f"({t*1e9:.2f} ns/env-step); measured {meas/1e6:.0f}M = "
-              f"{100*meas/bound:.0f}% of bound")
+        print(f"\n{label}: naive chain-rate bound {bound/1e6:.0f}M "
+              f"env-steps/s ({t*1e9:.2f} ns/env-step); measured "
+              f"{meas/1e6:.0f}M (see caveat)")
         top = sorted(detail.items(), key=lambda kv: -kv[1]["ns"])[:5]
         for op, d in top:
             print(f"    {op:9s} {d['count']:5d} ops  {d['ns']:.2f} ns "
